@@ -1,0 +1,185 @@
+"""`frif` v2 container: host-side bitstream mux/demux.
+
+Byte-level redesign of the reference's frif format (serialize.rs:40-115):
+same structure — magic, metadata word, then per channel a PRD predictor
+segment, 10 EHD context headers (frequency tables are *not* serialized;
+the decoder regenerates them from (max_freq_bits, off-list), mirroring
+serialize.rs:230-236), a DAT payload and an EOC, finally EOI — but the DAT
+payload carries NL interleaved-lane rANS streams (per-lane final state +
+word counts + u16 words) instead of one opaque `rans`-crate blob, and the
+header additionally records version, quality, lane count and the
+quantization matrix (the reference hardcodes its all-ones matrix,
+quantization.rs:3-5).
+
+Everything here is plain host bytes — the entropy-coded payload never
+needs device residency (SURVEY.md section 5, communication backend note).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List
+
+import numpy as np
+
+from ..images import (
+    ChannelData,
+    ColorSpace,
+    CompressedImage,
+    FractalVariant,
+    ImageMetadata,
+    AnsContextTables,
+)
+from ..entropy.tables import CONTEXT_AMOUNT, context_from_wire
+
+MAGIC = b"frif"
+VERSION = 2
+MARKER_PRD = 0xFFBB
+MARKER_EHD = 0xFFB2
+MARKER_DAT = 0xFFB4
+MARKER_EOC = 0xFFB8
+MARKER_EOI = 0xFFDF
+
+
+class SerializeError(ValueError):
+    """Parse failures (reference serialize.rs:12-37)."""
+
+
+def serialize(image: CompressedImage) -> bytes:
+    meta = image.metadata
+    out = bytearray()
+    out += MAGIC
+    out += struct.pack("<B", VERSION)
+    out += struct.pack("<II", meta.height, meta.width)
+    mdat = (meta.colorspace.encoding() << 4) | meta.variant.encoding()
+    out += struct.pack("<B", mdat)
+    out += struct.pack("<B", image.quality)
+    out += struct.pack("<H", image.num_lanes)
+    qm = np.asarray(image.quantization_matrix, dtype=np.uint16)
+    assert qm.shape == (32,)
+    out += qm.astype("<u2").tobytes()
+
+    for ch in range(meta.num_channels):
+        cd = image.channel_data[ch]
+        if cd is None:
+            raise SerializeError(f"missing channel {ch}")
+        out += struct.pack("<H", MARKER_PRD)
+        vp = np.asarray(cd.value_prediction_parameters, dtype="<f4")
+        wp = np.asarray(cd.width_prediction_parameters, dtype="<f4")
+        assert vp.shape == (3, 6) and wp.shape == (3, 6)
+        out += vp.tobytes() + wp.tobytes()
+
+        for ctx in cd.ans_contexts:
+            out += struct.pack("<H", MARKER_EHD)
+            out += struct.pack("<B", ctx.max_freq_bits)
+            off = np.asarray(ctx.off_distribution_values, dtype="<u2")
+            out += struct.pack("<I", off.shape[0])
+            out += off.tobytes()
+
+        out += struct.pack("<H", MARKER_DAT)
+        nl = image.num_lanes
+        states = np.asarray(cd.lane_states, dtype="<u4")
+        assert states.shape == (nl,)
+        counts = np.asarray([w.shape[0] for w in cd.lane_words], dtype="<u4")
+        assert counts.shape == (nl,)
+        out += states.tobytes()
+        out += counts.tobytes()
+        for w in cd.lane_words:
+            out += np.asarray(w, dtype="<u2").tobytes()
+        out += struct.pack("<H", MARKER_EOC)
+
+    out += struct.pack("<H", MARKER_EOI)
+    return bytes(out)
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def take(self, n: int) -> bytes:
+        if self.pos + n > len(self.data):
+            raise SerializeError("unexpected end of stream")
+        b = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def u8(self) -> int:
+        return self.take(1)[0]
+
+    def u16(self) -> int:
+        return struct.unpack("<H", self.take(2))[0]
+
+    def u32(self) -> int:
+        return struct.unpack("<I", self.take(4))[0]
+
+
+def deserialize(data: bytes) -> CompressedImage:
+    r = _Reader(data)
+    if r.take(4) != MAGIC:
+        raise SerializeError("bad magic")
+    version = r.u8()
+    if version != VERSION:
+        raise SerializeError(f"unsupported container version {version}")
+    height = r.u32()
+    width = r.u32()
+    mdat = r.u8()
+    colorspace = ColorSpace.from_encoding(mdat >> 4)
+    variant = FractalVariant.from_encoding(mdat & 0xF)
+    quality = r.u8()
+    nl = r.u16()
+    qm = np.frombuffer(r.take(64), dtype="<u2").astype(np.int32)
+    meta = ImageMetadata(height=height, width=width, colorspace=colorspace, variant=variant)
+
+    channel_data: List[ChannelData] = []
+    for ch in range(meta.num_channels):
+        if r.u16() != MARKER_PRD:
+            raise SerializeError("expected PRD segment")
+        vp = np.frombuffer(r.take(3 * 6 * 4), dtype="<f4").reshape(3, 6).copy()
+        wp = np.frombuffer(r.take(3 * 6 * 4), dtype="<f4").reshape(3, 6).copy()
+
+        contexts = []
+        for bucket in range(CONTEXT_AMOUNT):
+            if r.u16() != MARKER_EHD:
+                raise SerializeError("expected EHD segment")
+            bits = r.u8()
+            off_len = r.u32()
+            off = np.frombuffer(r.take(2 * off_len), dtype="<u2")
+            tab = context_from_wire(bucket, bits, off.tolist())
+            contexts.append(
+                AnsContextTables(
+                    max_freq_bits=tab.max_freq_bits,
+                    off_distribution_values=tab.off_distribution_values,
+                    freqs=tab.freqs,
+                    cdf=tab.cdf,
+                )
+            )
+
+        if r.u16() != MARKER_DAT:
+            raise SerializeError("expected DAT segment")
+        states = np.frombuffer(r.take(4 * nl), dtype="<u4").copy()
+        counts = np.frombuffer(r.take(4 * nl), dtype="<u4")
+        words = []
+        for c in counts:
+            words.append(np.frombuffer(r.take(2 * int(c)), dtype="<u2").copy())
+        if r.u16() != MARKER_EOC:
+            raise SerializeError("expected EOC")
+        channel_data.append(
+            ChannelData(
+                ans_contexts=contexts,
+                lane_states=states,
+                lane_words=words,
+                value_prediction_parameters=vp,
+                width_prediction_parameters=wp,
+            )
+        )
+
+    if r.u16() != MARKER_EOI:
+        raise SerializeError("expected EOI")
+    return CompressedImage(
+        metadata=meta,
+        channel_data=list(channel_data) + [None] * (3 - len(channel_data)),
+        quality=quality,
+        num_lanes=nl,
+        quantization_matrix=qm,
+    )

@@ -1,0 +1,70 @@
+"""Encoder driver: pipeline state machine + public API.
+
+Reference: encoder.rs:6-109 (EncoderStage state machine, FRIEncoder).
+The stage graph is fixed, so instead of a runtime enum walk the driver
+just calls the selected backend's fused pipeline; the state-machine
+stages survive as the module boundaries (channel transform, wavelet,
+quantization, prediction, entropy coding, serialize).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+
+from ..images import ColorSpace, RasterImage
+from .container import serialize
+from .options import EncoderOptions
+from .pipeline_np import encode_pipeline_np
+
+
+def _select_backend(opts: EncoderOptions) -> str:
+    if opts.backend != "auto":
+        return opts.backend
+    try:
+        import jax  # noqa: F401
+
+        return "jax"
+    except Exception:
+        return "numpy"
+
+
+class FRIEncoder:
+    """Mirror of FRIEncoder (encoder.rs:82-109)."""
+
+    def __init__(self, opts: Optional[EncoderOptions] = None):
+        self.opts = opts or EncoderOptions()
+
+    def encode(
+        self,
+        data: Union[np.ndarray, RasterImage],
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        colorspace: Optional[ColorSpace] = None,
+    ) -> bytes:
+        if isinstance(data, RasterImage):
+            image = data
+        else:
+            arr = np.asarray(data, dtype=np.uint8)
+            if height is not None and width is not None:
+                c = arr.size // (height * width)
+                arr = arr.reshape(height, width, c)
+            image = RasterImage.from_array(arr, colorspace)
+
+        backend = _select_backend(self.opts)
+        if backend == "jax":
+            from .pipeline_jax import encode_pipeline_jax
+
+            compressed = encode_pipeline_jax(image, self.opts)
+        else:
+            compressed = encode_pipeline_np(image, self.opts)
+        return serialize(compressed)
+
+
+def encode(
+    data: Union[np.ndarray, RasterImage],
+    opts: Optional[EncoderOptions] = None,
+    **kwargs,
+) -> bytes:
+    return FRIEncoder(opts).encode(data, **kwargs)

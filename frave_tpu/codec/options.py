@@ -1,0 +1,56 @@
+"""Encoder options and quality presets.
+
+Reference: encoder.rs:51-80. The reference declares EncoderQuality but
+never reads it (the quantization matrix is hardcoded all-ones,
+quantization.rs:3-5) — here the knob is functional: each preset selects a
+per-tree-layer quantization table. LOSSLESS keeps the all-ones table and
+guarantees bit-exact round trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import numpy as np
+
+
+class EncoderQuality(enum.Enum):
+    LOW = 0
+    MEDIUM = 1
+    HIGH = 2
+    LOSSLESS = 3
+
+
+# Per-tree-layer divisors, layer = floor(log2(haar_index + 1)) in [0, 10]
+# for depth 9 (quantization.rs:16); padded to 32 entries like the
+# reference's matrix. Coarse layers (DC, root) stay exact; fine layers
+# (leaf differences) quantize harder at lower quality.
+_QUANT_TABLES = {
+    EncoderQuality.LOSSLESS: [1] * 32,
+    EncoderQuality.HIGH: [1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 3] + [3] * 21,
+    EncoderQuality.MEDIUM: [1, 1, 1, 1, 1, 2, 2, 3, 4, 6, 8] + [8] * 21,
+    EncoderQuality.LOW: [1, 1, 2, 2, 3, 4, 6, 8, 12, 16, 24] + [24] * 21,
+}
+
+
+def quantization_matrix(quality: EncoderQuality) -> np.ndarray:
+    return np.asarray(_QUANT_TABLES[quality], dtype=np.int32)
+
+
+@dataclasses.dataclass
+class EncoderOptions:
+    """Reference EncoderOpts (encoder.rs:58-80).
+
+    emit_coefficients / verbose keep their reference meaning but emit via
+    the in-memory metrics sink (frave_tpu/metrics.py) instead of
+    unconditional ./mse and ./coefficients file side-channels
+    (prediction.rs:17-37,300 — a quirk deliberately not replicated).
+    """
+
+    quality: EncoderQuality = EncoderQuality.LOSSLESS
+    emit_coefficients: bool = False
+    verbose: bool = False
+    num_lanes: Optional[int] = None  # None -> heuristic from symbol count
+    backend: str = "auto"  # "jax" | "numpy" | "auto"

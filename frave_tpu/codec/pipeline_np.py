@@ -1,0 +1,169 @@
+"""End-to-end numpy codec pipeline (host oracle / CPU fallback backend).
+
+Mirrors the stage flow of the reference drivers (encoder.rs:6-49,
+decoder.rs:6-42): channel transform -> wavelet lifting -> quantization ->
+prediction/contexts -> entropy coding -> container. The JAX backend
+(pipeline_jax.py) implements the same math with identical integer
+semantics; both are exercised against each other in tests.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..images import (
+    ChannelData,
+    CompressedImage,
+    ImageMetadata,
+    RasterImage,
+    AnsContextTables,
+)
+from ..entropy.tables import (
+    ALPHABET_SIZE,
+    CONTEXT_AMOUNT,
+    context_from_histogram,
+)
+from ..fractal.geometry import get_geometry
+from ..fractal.schedule import (
+    get_schedule,
+    get_lane_steps,
+    default_num_lanes,
+)
+from ..modeling import fit_predictors_np
+from ..ops.lifting import (
+    forward_lifting_np,
+    inverse_lifting_np,
+    quantize_np,
+    dequantize_np,
+)
+from ..ops.prediction import contexts_np, gather_neighbour_values
+from ..ops.rans import LaneDecoder, encode_lanes
+from ..utils import pack_signed, unpack_signed
+from .options import EncoderOptions, quantization_matrix
+
+
+def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedImage:
+    meta = image.metadata
+    geo = get_geometry(meta.height, meta.width)
+    sched = get_schedule(meta.height, meta.width)
+    C = meta.num_channels
+
+    pixels = image.data.reshape(-1, C).T.astype(np.int64)  # [C, H*W]
+    coef = forward_lifting_np(pixels, geo)  # [C, T, N]
+    qm = quantization_matrix(opts.quality)
+    qcoef = quantize_np(coef, qm, geo)
+    qflat = qcoef.reshape(C, -1).astype(np.int64)
+
+    nl = opts.num_lanes or default_num_lanes(sched.num_symbols)
+
+    hf = ~sched.sched_lf
+    channel_data: List[ChannelData] = []
+    for ch in range(C):
+        # --- learned predictor fit on HF slots (context_modeling.rs:204-213)
+        vals_hf = gather_neighbour_values(qflat[ch], sched.sched_nbr[hf])
+        target_hf = qflat[ch][sched.sched_coef[hf].astype(np.int64)]
+        vparams, wparams = fit_predictors_np(
+            vals_hf,
+            target_hf,
+            sched.sched_group[hf].astype(np.int64),
+            np.ones(int(hf.sum()), dtype=bool),
+        )
+
+        # --- contexts for every symbol (prediction.rs:224-298), fully parallel
+        vals = gather_neighbour_values(qflat[ch], sched.sched_nbr)
+        buckets, preds = contexts_np(
+            vals, sched.sched_lf, sched.sched_group.astype(np.int64), vparams, wparams
+        )
+        values = qflat[ch][sched.sched_coef.astype(np.int64)]
+        residuals = values - preds.astype(np.int64)
+        symbols = pack_signed(residuals)
+        if symbols.max(initial=0) >= ALPHABET_SIZE:
+            raise AssertionError("residual symbol out of alphabet range")
+
+        # --- per-bucket histograms + context finalization
+        contexts = []
+        for b in range(CONTEXT_AMOUNT):
+            hist = np.bincount(
+                symbols[buckets == b].astype(np.int64), minlength=ALPHABET_SIZE
+            ).astype(np.uint32)[:ALPHABET_SIZE]
+            contexts.append(context_from_histogram(hist, b))
+
+        freqs = np.stack([c.freqs for c in contexts])
+        cdfs = np.stack([c.cdf for c in contexts])
+        bits = np.asarray([c.max_freq_bits for c in contexts], dtype=np.int32)
+
+        states, words = encode_lanes(
+            symbols.astype(np.uint32), buckets.astype(np.int32), freqs, cdfs, bits, nl
+        )
+        channel_data.append(
+            ChannelData(
+                ans_contexts=[
+                    AnsContextTables(
+                        max_freq_bits=c.max_freq_bits,
+                        off_distribution_values=c.off_distribution_values,
+                        freqs=c.freqs,
+                        cdf=c.cdf,
+                    )
+                    for c in contexts
+                ],
+                lane_states=states,
+                lane_words=words,
+                value_prediction_parameters=vparams,
+                width_prediction_parameters=wparams,
+            )
+        )
+
+    return CompressedImage(
+        metadata=meta,
+        channel_data=list(channel_data) + [None] * (3 - C),
+        quality=opts.quality.value,
+        num_lanes=nl,
+        quantization_matrix=np.asarray(qm, dtype=np.uint16),
+    )
+
+
+def decode_pipeline_np(image: CompressedImage) -> RasterImage:
+    meta = image.metadata
+    geo = get_geometry(meta.height, meta.width)
+    steps = get_lane_steps(meta.height, meta.width, image.num_lanes)
+    C = meta.num_channels
+    n_slots = geo.num_coef_slots
+
+    qflat = np.zeros((C, n_slots), dtype=np.int64)
+    decoders = []
+    vparams = []
+    wparams = []
+    for ch in range(C):
+        cd = image.channel_data[ch]
+        freqs = np.stack([c.freqs for c in cd.ans_contexts])
+        cdfs = np.stack([c.cdf for c in cd.ans_contexts])
+        bits = np.asarray([c.max_freq_bits for c in cd.ans_contexts], dtype=np.int32)
+        decoders.append(LaneDecoder(cd.lane_states, cd.lane_words, freqs, cdfs, bits))
+        vparams.append(np.asarray(cd.value_prediction_parameters, dtype=np.float32))
+        wparams.append(np.asarray(cd.width_prediction_parameters, dtype=np.float32))
+
+    # Level-synchronous wavefront decode: each step advances all lanes of
+    # every channel once (SURVEY.md section 3.2's wavefront made explicit).
+    for s in range(steps.num_steps):
+        coef_slots = steps.step_coef[s].astype(np.int64)  # [NL]
+        active = coef_slots >= 0
+        nbr = steps.step_nbr[s].astype(np.int64)  # [NL, 6]
+        lf = steps.step_lf[s]
+        group = steps.step_group[s].astype(np.int64)
+        for ch in range(C):
+            vals = gather_neighbour_values(qflat[ch], nbr)
+            buckets, preds = contexts_np(vals, lf, group, vparams[ch], wparams[ch])
+            bk = np.where(active, buckets.astype(np.int64), -1)
+            syms = decoders[ch].decode_step(bk)
+            residuals = unpack_signed(syms)
+            values = residuals + preds.astype(np.int64)
+            qflat[ch][coef_slots[active]] = values[active]
+
+    qcoef = qflat.reshape(C, geo.num_tiles, geo.nodes_per_tile)
+    qm = np.asarray(image.quantization_matrix, dtype=np.int32)
+    coef = dequantize_np(qcoef, qm, geo)
+    pixels = inverse_lifting_np(coef, geo)  # [C, H*W] uint8
+    data = pixels.T.reshape(meta.height, meta.width, C)
+    return RasterImage(metadata=meta, data=data)

@@ -1,0 +1,259 @@
+"""Wavefront decode schedule: dependency-DAG layering + rANS lane layout.
+
+The decode recursion of the reference is symbol-sequential: each symbol's
+context bucket depends on previously decoded coefficients
+(entropy_coding.rs:205-264). The dependency structure, however, is static:
+a coefficient at level L depends only on (a) its 3 same-level causal
+neighbours {left, up-left, up-right} and (b) the fully-decoded parent
+level (SURVEY.md section 3.2). This module turns that structure into a
+static *wavefront schedule*:
+
+  * Per phase (DC scan, root-HF scan, HF levels 1..depth-1 — the same
+    3-phase order as the reference encoder/decoder,
+    entropy_coding.rs:284-329,369-441), Kahn longest-path layering over the
+    3 causal edges groups symbols into *waves*; every symbol's dependencies
+    live in strictly earlier waves, so a whole wave decodes in parallel.
+  * Symbols are enumerated in schedule order k = 0..K-1 (waves in order,
+    canonical raster order inside a wave) and round-robined over NL
+    interleaved rANS lanes: lane(k) = k mod NL. Lane assignment is static,
+    so the encoder can build every lane's stream independently (reverse
+    scan) and the decoder advances all lanes of a wave chunk at once.
+
+This is the TPU-native replacement for both the serpentine scan order
+(wavelet_transform.rs:505-705) and the bucket-indexed 10-stream layout of
+the reference (entropy_coding.rs:266-352): stream membership no longer
+depends on decoded data, only the *frequency table* choice does.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from .geometry import FractalGeometry, get_geometry, BASE_FRAC_DEPTH
+
+
+def _layer_waves(num_nodes: int, deps: np.ndarray) -> np.ndarray:
+    """Longest-path layering. deps: [num_nodes, d] int64 node indices or -1.
+
+    Returns wave id per node (0-based). Raises on cycles (geometrically
+    impossible for translation-generated causal edges; asserted anyway).
+    """
+    wave = np.full(num_nodes, -1, dtype=np.int64)
+    indeg = np.zeros(num_nodes, dtype=np.int64)
+    # adjacency: successors
+    succ: List[List[int]] = [[] for _ in range(num_nodes)]
+    for i in range(num_nodes):
+        for d in deps[i]:
+            if d >= 0:
+                succ[d].append(i)
+                indeg[i] += 1
+    from collections import deque
+
+    q = deque(np.nonzero(indeg == 0)[0].tolist())
+    wave[list(q)] = 0
+    seen = 0
+    while q:
+        u = q.popleft()
+        seen += 1
+        for v in succ[u]:
+            if wave[u] + 1 > wave[v]:
+                wave[v] = wave[u] + 1
+            indeg[v] -= 1
+            if indeg[v] == 0:
+                q.append(v)
+    if seen != num_nodes:
+        raise AssertionError("cycle in causal dependency graph")
+    return wave
+
+
+@dataclasses.dataclass
+class WavefrontSchedule:
+    """Static symbol schedule for one geometry (channel-independent)."""
+
+    num_symbols: int  # K
+    sched_coef: np.ndarray  # [K] int32 flat coefficient slot
+    sched_nbr: np.ndarray  # [K, 6] int32 neighbour value slots (-1 absent)
+    sched_lf: np.ndarray  # [K] bool: LF (MED) vs HF (learned linear) context
+    sched_group: np.ndarray  # [K] int8 predictor parameter group (0/1/2)
+    wave_sizes: np.ndarray  # [num_waves] int32, sums to K
+    max_wave: int
+
+    def lane_of(self, nl: int) -> np.ndarray:
+        return (np.arange(self.num_symbols, dtype=np.int64) % nl).astype(np.int32)
+
+
+def build_schedule(geo: FractalGeometry) -> WavefrontSchedule:
+    n = geo.nodes_per_tile
+    depth = geo.depth
+    T = geo.num_tiles
+
+    sched_coef: List[np.ndarray] = []
+    sched_nbr: List[np.ndarray] = []
+    sched_lf: List[np.ndarray] = []
+    sched_group: List[np.ndarray] = []
+    wave_sizes: List[int] = []
+
+    # --- Level-0 phases (DC then root-HF). Nodes = kept tiles; causal deps =
+    # {left, up_left, up_right} tile (prediction.rs:241-270). Both phases
+    # share the same wave structure.
+    tile_deps = geo.tile_nbr.astype(np.int64)
+    tile_waves = _layer_waves(T, tile_deps)
+    tile_order = np.lexsort((np.arange(T), tile_waves))  # stable by wave, then canonical
+    t_sorted = np.arange(T, dtype=np.int64)[tile_order]
+    w_sorted = tile_waves[tile_order]
+    _, counts = np.unique(w_sorted, return_counts=True)
+
+    for phase_haar in (0, 1):
+        coef = (t_sorted * n + phase_haar).astype(np.int64)
+        nbr = np.full((T, 6), -1, dtype=np.int64)
+        valid = geo.tile_nbr[t_sorted] >= 0
+        nbr[:, 0:3] = np.where(
+            valid, geo.tile_nbr[t_sorted].astype(np.int64) * n + phase_haar, -1
+        )
+        sched_coef.append(coef)
+        sched_nbr.append(nbr)
+        sched_lf.append(np.ones(T, dtype=bool))
+        sched_group.append(np.zeros(T, dtype=np.int8))
+        wave_sizes.extend(counts.tolist())
+
+    # --- HF levels 1..depth-1, coarse to fine (entropy_coding.rs:309).
+    for L in range(1, depth):
+        slots = geo.level_slots[L].astype(np.int64)  # canonical order
+        present = geo.coef_mask.reshape(-1)[slots]
+        slots = slots[present]
+        nL = slots.shape[0]
+        if nL == 0:
+            continue
+        slot_to_node: Dict[int, int] = {int(s): i for i, s in enumerate(slots)}
+        nbr = geo.nbr_idx[slots].astype(np.int64)  # [nL, 6]
+        # Causal deps = same-level neighbours that are themselves symbols
+        # (mask-true). Mask-false neighbours read as constant 0 on both
+        # sides (unwrap_or(0)) and impose no ordering.
+        deps = np.full((nL, 3), -1, dtype=np.int64)
+        flat_mask = geo.coef_mask.reshape(-1)
+        for i in range(nL):
+            for k in range(3):
+                s = nbr[i, k]
+                if s >= 0 and flat_mask[s]:
+                    deps[i, k] = slot_to_node[int(s)]
+        waves = _layer_waves(nL, deps)
+        order = np.lexsort((np.arange(nL), waves))
+        slots_o = slots[order]
+        nbr_o = nbr[order]
+        w_o = waves[order]
+        _, counts = np.unique(w_o, return_counts=True)
+
+        group = 0 if L == depth - 1 else (1 if L == depth - 2 else 2)
+        sched_coef.append(slots_o)
+        sched_nbr.append(nbr_o)
+        sched_lf.append(np.zeros(nL, dtype=bool))
+        sched_group.append(np.full(nL, group, dtype=np.int8))
+        wave_sizes.extend(counts.tolist())
+
+    coef = np.concatenate(sched_coef)
+    nbr = np.concatenate(sched_nbr, axis=0)
+    lf = np.concatenate(sched_lf)
+    group = np.concatenate(sched_group)
+    ws = np.asarray(wave_sizes, dtype=np.int64)
+    assert ws.sum() == coef.shape[0]
+
+    return WavefrontSchedule(
+        num_symbols=int(coef.shape[0]),
+        sched_coef=coef.astype(np.int32),
+        sched_nbr=nbr.astype(np.int32),
+        sched_lf=lf,
+        sched_group=group,
+        wave_sizes=ws.astype(np.int32),
+        max_wave=int(ws.shape[0]),
+    )
+
+
+@dataclasses.dataclass
+class LaneSteps:
+    """Decode-time step tensors for a given lane count NL.
+
+    Waves are chunked into steps of at most NL symbols; within a step every
+    symbol occupies a distinct lane (lane = k mod NL with k the global
+    schedule index, contiguous within a step), stored lane-aligned so the
+    per-lane rANS state vectors index directly.
+    """
+
+    nl: int
+    num_steps: int
+    step_slot: np.ndarray  # [S, NL] int32 schedule index k or -1
+    step_coef: np.ndarray  # [S, NL] int32 flat coefficient slot or -1
+    step_nbr: np.ndarray  # [S, NL, 6] int32
+    step_lf: np.ndarray  # [S, NL] bool
+    step_group: np.ndarray  # [S, NL] int8
+
+
+def build_lane_steps(sched: WavefrontSchedule, nl: int) -> LaneSteps:
+    steps: List[Tuple[int, int]] = []  # (k0, len)
+    k = 0
+    for wsize in sched.wave_sizes.tolist():
+        rem = wsize
+        while rem > 0:
+            take = min(rem, nl)
+            steps.append((k, take))
+            k += take
+            rem -= take
+    S = len(steps)
+    step_slot = np.full((S, nl), -1, dtype=np.int64)
+    for s, (k0, ln) in enumerate(steps):
+        ks = np.arange(k0, k0 + ln, dtype=np.int64)
+        step_slot[s, ks % nl] = ks
+    valid = step_slot >= 0
+    safe = np.where(valid, step_slot, 0)
+    step_coef = np.where(valid, sched.sched_coef[safe], -1)
+    step_nbr = np.where(valid[..., None], sched.sched_nbr[safe], -1)
+    step_lf = np.where(valid, sched.sched_lf[safe], False)
+    step_group = np.where(valid, sched.sched_group[safe], 0)
+    return LaneSteps(
+        nl=nl,
+        num_steps=S,
+        step_slot=step_slot.astype(np.int32),
+        step_coef=step_coef.astype(np.int32),
+        step_nbr=step_nbr.astype(np.int32),
+        step_lf=step_lf.astype(bool),
+        step_group=step_group.astype(np.int8),
+    )
+
+
+def default_num_lanes(num_symbols: int) -> int:
+    """Lane count heuristic: enough lanes to keep the wavefront wide, few
+    enough that per-lane stream overhead (4B state + 4B count) stays small."""
+    if num_symbols <= 0:
+        return 8
+    target = max(8, min(256, num_symbols // 64))
+    return 1 << (int(target).bit_length() - 1)
+
+
+_sched_cache: Dict[Tuple[int, int, int], WavefrontSchedule] = {}
+_lane_cache: Dict[Tuple[int, int, int, int], LaneSteps] = {}
+_lock = threading.Lock()
+
+
+def get_schedule(height: int, width: int, depth: int = BASE_FRAC_DEPTH) -> WavefrontSchedule:
+    key = (height, width, depth)
+    with _lock:
+        s = _sched_cache.get(key)
+    if s is None:
+        s = build_schedule(get_geometry(height, width, depth))
+        with _lock:
+            _sched_cache[key] = s
+    return s
+
+
+def get_lane_steps(height: int, width: int, nl: int, depth: int = BASE_FRAC_DEPTH) -> LaneSteps:
+    key = (height, width, depth, nl)
+    with _lock:
+        s = _lane_cache.get(key)
+    if s is None:
+        s = build_lane_steps(get_schedule(height, width, depth), nl)
+        with _lock:
+            _lane_cache[key] = s
+    return s

@@ -1,0 +1,148 @@
+"""Image data model: colorspaces, metadata, raster and compressed images.
+
+Reference: /root/reference/crates/libfri/src/images.rs:8-125. Pixel data is
+kept as a numpy/jax array of shape [h, w, channels] (uint8) instead of the
+reference's interleaved Vec<u8>; wire encodings for ColorSpace and
+FractalVariant keep the same 2-bit values for container compatibility of
+intent (our container is version 2 and not byte-compatible; see
+frave_tpu/codec/container.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import List, Optional
+
+import numpy as np
+
+
+class ColorSpace(enum.Enum):
+    """Reference images.rs:8-39 (2-bit wire encodings preserved)."""
+
+    LUMA = 0b01
+    RGB = 0b10
+    YCBCR = 0b11
+
+    @property
+    def num_channels(self) -> int:
+        return 1 if self is ColorSpace.LUMA else 3
+
+    def encoding(self) -> int:
+        return self.value
+
+    @staticmethod
+    def from_encoding(val: int) -> "ColorSpace":
+        try:
+            return ColorSpace(val)
+        except ValueError:
+            raise ValueError(f"invalid colorspace encoding {val!r}")
+
+
+class FractalVariant(enum.Enum):
+    """Reference images.rs:42-65. Only TAME_TWINDRAGON is implemented, as in
+    the reference (the other variants are declared but never constructed,
+    encoder.rs:96)."""
+
+    TAME_TWINDRAGON = 0b01
+    TWINDRAGON = 0b10
+    BOXES = 0b11
+
+    def encoding(self) -> int:
+        return self.value
+
+    @staticmethod
+    def from_encoding(val: int) -> "FractalVariant":
+        try:
+            return FractalVariant(val)
+        except ValueError:
+            raise ValueError(f"invalid fractal variant encoding {val!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class ImageMetadata:
+    """Reference images.rs:68-79."""
+
+    height: int
+    width: int
+    colorspace: ColorSpace = ColorSpace.RGB
+    variant: FractalVariant = FractalVariant.TAME_TWINDRAGON
+
+    @property
+    def num_channels(self) -> int:
+        return self.colorspace.num_channels
+
+
+@dataclasses.dataclass
+class RasterImage:
+    """A decoded image: uint8 array [h, w, channels].
+
+    Reference images.rs:82-111 keeps interleaved bytes with bounds-checked
+    get_pixel/set_pixel; here pixel access is tensor indexing and
+    out-of-bounds handling lives in the geometry index tensors
+    (frave_tpu/fractal/geometry.py).
+    """
+
+    metadata: ImageMetadata
+    data: np.ndarray  # [h, w, c] uint8
+
+    def __post_init__(self):
+        h, w, c = (
+            self.metadata.height,
+            self.metadata.width,
+            self.metadata.num_channels,
+        )
+        self.data = np.asarray(self.data, dtype=np.uint8).reshape(h, w, c)
+
+    @staticmethod
+    def from_array(arr: np.ndarray, colorspace: Optional[ColorSpace] = None) -> "RasterImage":
+        arr = np.asarray(arr, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        h, w, c = arr.shape
+        if colorspace is None:
+            colorspace = ColorSpace.LUMA if c == 1 else ColorSpace.RGB
+        meta = ImageMetadata(height=h, width=w, colorspace=colorspace)
+        return RasterImage(metadata=meta, data=arr)
+
+
+@dataclasses.dataclass
+class AnsContextTables:
+    """Finalized per-bucket rANS tables (reference entropy_coding.rs:31-53).
+
+    freqs/cdf are regenerated deterministically from (max_freq_bits,
+    off_distribution_values) on both the encode and decode side — only
+    those two items travel in the container (reference serialize.rs:93-105).
+    """
+
+    max_freq_bits: int
+    off_distribution_values: np.ndarray  # u16 list
+    freqs: np.ndarray  # [1024] u32
+    cdf: np.ndarray  # [1024] u32
+
+
+@dataclasses.dataclass
+class ChannelData:
+    """Per-channel compressed payload (reference images.rs:114-119).
+
+    Instead of one opaque rANS byte blob, the TPU format stores per-lane
+    final states and word streams (see frave_tpu/ops/rans.py for the lane
+    layout rationale).
+    """
+
+    ans_contexts: List[AnsContextTables]
+    lane_states: np.ndarray  # [NL] u32 final encoder states
+    lane_words: List[np.ndarray]  # per-lane u16 arrays, decode order
+    value_prediction_parameters: np.ndarray  # [3, 6] f32
+    width_prediction_parameters: np.ndarray  # [3, 6] f32
+
+
+@dataclasses.dataclass
+class CompressedImage:
+    """Reference images.rs:121-124."""
+
+    metadata: ImageMetadata
+    channel_data: List[Optional[ChannelData]]
+    quality: int = 0  # EncoderQuality wire value
+    num_lanes: int = 0
+    quantization_matrix: Optional[np.ndarray] = None  # [32] u16
