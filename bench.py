@@ -1,0 +1,110 @@
+"""Benchmark: encode+decode throughput on the primary config.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N}
+
+Config (BASELINE.json config 1, widened for throughput): a batch of
+256x256 grayscale natural-statistics images, full encode -> container
+bytes -> decode round trip on the JAX backend (TPU when available),
+verified lossless against the input.
+
+vs_baseline: the reference publishes no numbers and no Rust toolchain
+exists in this container (BASELINE.md), so the recorded baseline is the
+single-thread CPU host oracle (frave_tpu numpy backend) measured in the
+same run — the stand-in for the "single-thread CPU encoder" the 10x
+north-star target is defined against.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def make_corpus(n: int, h: int, w: int, c: int, seed: int = 0) -> np.ndarray:
+    """Natural-statistics synthetic images: smooth fields + texture + noise."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    out = np.zeros((n, h, w, c), dtype=np.uint8)
+    for i in range(n):
+        fx, fy = rng.uniform(8, 40, size=2)
+        px, py = rng.uniform(0, 6.28, size=2)
+        base = (
+            127.0
+            + 70.0 * np.sin(xx / fx + px)
+            + 50.0 * np.cos(yy / fy + py)
+            + rng.normal(0, 5.0, size=(h, w))
+        )
+        for ch in range(c):
+            out[i, :, :, ch] = np.clip(base + 10.0 * ch, 0, 255).astype(np.uint8)
+    return out
+
+
+def bench_jax(corpus: np.ndarray, reps: int = 3) -> float:
+    from frave_tpu import EncoderOptions
+    from frave_tpu.codec.decoder import FRIDecoder
+    from frave_tpu.codec.encoder import FRIEncoder
+
+    enc = FRIEncoder(EncoderOptions(backend="jax"))
+    dec = FRIDecoder(backend="jax")
+    n, h, w, c = corpus.shape
+
+    # warmup (compile)
+    blob = enc.encode(corpus[0])
+    out = dec.decode(blob)
+    np.testing.assert_array_equal(out.data, corpus[0])
+
+    mp = n * h * w / 1e6
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        blobs = [enc.encode(corpus[i]) for i in range(n)]
+        outs = [dec.decode(b) for b in blobs]
+        dt = time.perf_counter() - t0
+        best = max(best, mp / dt)
+    for i in range(n):
+        np.testing.assert_array_equal(outs[i].data, corpus[i])
+    return best
+
+
+def bench_numpy_baseline(image: np.ndarray) -> float:
+    from frave_tpu import EncoderOptions
+    from frave_tpu.codec.decoder import FRIDecoder
+    from frave_tpu.codec.encoder import FRIEncoder
+
+    enc = FRIEncoder(EncoderOptions(backend="numpy"))
+    dec = FRIDecoder(backend="numpy")
+    h, w = image.shape[:2]
+    t0 = time.perf_counter()
+    blob = enc.encode(image)
+    out = dec.decode(blob)
+    dt = time.perf_counter() - t0
+    np.testing.assert_array_equal(out.data, image)
+    return (h * w / 1e6) / dt
+
+
+def main():
+    h = w = 256
+    corpus = make_corpus(8, h, w, 1, seed=42)
+    value = bench_jax(corpus)
+    baseline = bench_numpy_baseline(corpus[0])
+    print(
+        json.dumps(
+            {
+                "metric": "encode+decode throughput, 256x256 gray, jax backend",
+                "value": round(value, 4),
+                "unit": "MP/s",
+                "vs_baseline": round(value / baseline, 4) if baseline > 0 else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,192 @@
+"""Device-side array ops: lifting, quantization, context prediction (JAX).
+
+These mirror the numpy host oracle (frave_tpu/ops/lifting.py,
+frave_tpu/ops/prediction.py) with *identical arithmetic semantics*:
+
+  * integer lifting uses Rust truncated division (wavelet_transform.rs:
+    211-218) implemented branch-free on int32;
+  * context math (MED predictor, learned 6-tap predictors, width -> bucket
+    LUT) is IEEE f32 elementwise with a fixed operation order — no
+    reductions, so XLA cannot reorder anything and the encoder, the JAX
+    decoder and the numpy decoder all agree bit-for-bit on every bucket
+    and prediction (the self-consistency requirement of
+    entropy_coding.rs:205-264, where decode re-derives encode's contexts).
+
+Everything here is shape-static and jit-friendly; geometry arrives as
+index tensors from frave_tpu/fractal/geometry.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+PRED_CLAMP = 255  # see frave_tpu/ops/prediction.py docstring
+
+# width -> bucket edges (reference assign_bucket, prediction.rs:55-68)
+_BUCKET_EDGES = (3.0, 5.0, 6.0, 8.0, 12.0, 16.0, 20.0, 25.0, 30.0)
+
+
+def trunc_div(a: jnp.ndarray, q) -> jnp.ndarray:
+    """Rust-style truncated integer division (toward zero) on int32."""
+    q = jnp.asarray(q, dtype=a.dtype)
+    return jnp.where(a < 0, -((-a) // q), a // q)
+
+
+def forward_lifting(leaves: jnp.ndarray, leaf_mask: jnp.ndarray, depth: int) -> jnp.ndarray:
+    """Haar-style lifting, bottom-up (wavelet_transform.rs:179-225).
+
+    leaves: [..., N] int32 leaf pixel values (N = 2**depth);
+    leaf_mask: [..., N] bool in-bounds mask. Missing sides read as 0
+    (try_apply Some-propagation, wavelet_transform.rs:14-26).
+    Returns coefficients [..., N] int32; DC at index 0.
+    """
+    n = 1 << depth
+    assert leaves.shape[-1] == n
+    coef_parts = [None] * (depth + 1)  # per-level slices, assembled at the end
+    vals = leaves.astype(jnp.int32)
+    mask = jnp.broadcast_to(leaf_mask, vals.shape)
+    for level in range(depth - 1, -1, -1):
+        L = vals[..., 0::2]
+        R = vals[..., 1::2]
+        Lm = mask[..., 0::2]
+        Rm = mask[..., 1::2]
+        l0 = jnp.where(Lm, L, 0)
+        r0 = jnp.where(Rm, R, 0)
+        c = l0 - r0
+        m = Lm | Rm
+        coef_parts[level] = jnp.where(m, c, 0)  # haar indices [2^level, 2^(level+1))
+        vals = r0 + trunc_div(c, 2)
+        mask = m
+    dc = jnp.where(mask[..., 0:1], vals[..., 0:1], 0)
+    return jnp.concatenate([dc] + coef_parts[:depth], axis=-1)
+
+
+def inverse_lifting(coef: jnp.ndarray, depth: int) -> jnp.ndarray:
+    """Inverse lifting, top-down (extract_values, wavelet_transform.rs:358-381).
+
+    coef: [..., N] int32. Returns leaf values [..., N] int32 (values under
+    mask-false nodes are garbage — never scattered to pixels).
+    """
+    n = 1 << depth
+    assert coef.shape[-1] == n
+    vals = coef[..., 0:1]
+    for level in range(depth):
+        lo, hi = 1 << level, 1 << (level + 1)
+        c = coef[..., lo:hi]
+        right = vals - trunc_div(c, 2)
+        left = c + right
+        # interleave (left, right) -> children order 2p, 2p+1
+        vals = jnp.stack([left, right], axis=-1).reshape(
+            coef.shape[:-1] + (2 * (hi - lo),)
+        )
+    return vals
+
+
+def layer_divisors(qmatrix: jnp.ndarray, depth: int) -> jnp.ndarray:
+    """Per-haar-index divisor, layer = floor(log2(i+1)) (quantization.rs:16)."""
+    import numpy as np
+
+    n = 1 << depth
+    layers = np.floor(np.log2(np.arange(n, dtype=np.float64) + 1)).astype(np.int32)
+    return jnp.asarray(qmatrix)[jnp.asarray(layers)]
+
+
+def quantize(coef: jnp.ndarray, divisors: jnp.ndarray) -> jnp.ndarray:
+    """Per-layer truncated divide (quantization.rs:7-25)."""
+    return trunc_div(coef, divisors.astype(coef.dtype))
+
+
+def dequantize(coef: jnp.ndarray, divisors: jnp.ndarray) -> jnp.ndarray:
+    """Multiply back with midpoint bias (see dequantize_np rationale)."""
+    q = divisors.astype(jnp.int32)
+    c = coef.astype(jnp.int32)
+    bias = jnp.sign(c) * ((q - 1) // 2)
+    return c * q + bias
+
+
+def assign_bucket_f32(width_f32: jnp.ndarray) -> jnp.ndarray:
+    """Width -> context bucket (prediction.rs:55-68). `width as u32`
+    truncates toward zero, saturates negatives/NaN to 0 — bucket is the
+    count of edges <= trunc(width)."""
+    w = jnp.where(jnp.isnan(width_f32), 0.0, width_f32)
+    w = jnp.trunc(jnp.clip(w, 0.0, 4.0e9))
+    bucket = jnp.zeros(w.shape, dtype=jnp.int32)
+    for e in _BUCKET_EDGES:
+        bucket = bucket + (w >= jnp.float32(e)).astype(jnp.int32)
+    return bucket
+
+
+def contexts(
+    vals: jnp.ndarray,  # [..., 6] int32 neighbour values (0 where absent)
+    lf: jnp.ndarray,  # [...] bool
+    group: jnp.ndarray,  # [...] int32 parameter group 0/1/2
+    vparams: jnp.ndarray,  # [3, 6] f32 (vmap over channels at call sites)
+    wparams: jnp.ndarray,  # [3, 6] f32
+):
+    """Context bucket + prediction per symbol — the exact f32 op sequence of
+    contexts_np (frave_tpu/ops/prediction.py, reference prediction.rs:86-207).
+    Returns (bucket [...] int32, pred [...] int32 clamped to +-255)."""
+    v = vals.astype(jnp.int32)
+    v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
+
+    # LF: LOCO-I/MED + |v0-v2| width
+    mx = jnp.maximum(v0, v2)
+    mn = jnp.minimum(v0, v2)
+    med = jnp.where(v1 >= mx, mx, jnp.where(v1 <= mn, mn, v0 + v2 - v1))
+    lf_bucket = assign_bucket_f32(jnp.abs(v0 - v2).astype(jnp.float32))
+
+    # HF: learned width on 5 gradient features + bias; learned 6-tap value
+    vp = vparams[group.astype(jnp.int32)]  # [..., 6]
+    wp = wparams[group.astype(jnp.int32)]
+    vf = vals.astype(jnp.float32)
+    g1 = jnp.abs(vf[..., 0] - vf[..., 3])
+    g2 = jnp.abs(vf[..., 1] - vf[..., 2])
+    g3 = jnp.abs(vf[..., 4] - vf[..., 5])
+    g4 = jnp.abs(vf[..., 1] - vf[..., 5])
+    g5 = jnp.abs(vf[..., 2] - vf[..., 4])
+    hf_width = (
+        wp[..., 0]
+        + wp[..., 1] * g1
+        + wp[..., 2] * g2
+        + wp[..., 3] * g3
+        + wp[..., 4] * g4
+        + wp[..., 5] * g5
+    )
+    hf_bucket = assign_bucket_f32(hf_width)
+    hf_pred_f = (
+        vf[..., 0] * vp[..., 0]
+        + vf[..., 1] * vp[..., 1]
+        + vf[..., 2] * vp[..., 2]
+        + vf[..., 3] * vp[..., 3]
+        + vf[..., 4] * vp[..., 4]
+        + vf[..., 5] * vp[..., 5]
+    )
+    # Rust `as i32` truncates; values beyond +-PRED_CLAMP collapse to the
+    # clamp below, so a conservative pre-clip keeps f32->i32 conversion
+    # well-defined without changing any in-range result.
+    hf_pred = jnp.trunc(
+        jnp.clip(jnp.where(jnp.isnan(hf_pred_f), 0.0, hf_pred_f), -1e9, 1e9)
+    ).astype(jnp.int32)
+
+    bucket = jnp.where(lf, lf_bucket, hf_bucket)
+    pred = jnp.where(lf, med, hf_pred)
+    pred = jnp.clip(pred, -PRED_CLAMP, PRED_CLAMP)
+    return bucket, pred
+
+
+def gather_neighbours(coef_padded: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:
+    """coef_padded: [..., n_slots + 1] int32 with the final slot pinned to 0;
+    nbr_idx: [..., 6] int32 with -1 mapped to the padding slot by the caller
+    (unwrap_or(0) semantics, context_modeling.rs:48,66)."""
+    return coef_padded[..., nbr_idx]
+
+
+def pack_signed(k: jnp.ndarray) -> jnp.ndarray:
+    """Zig-zag i32 -> u32-as-i32 (utils.rs:34-40)."""
+    return jnp.where(k >= 0, 2 * k, -2 * k - 1)
+
+
+def unpack_signed(k: jnp.ndarray) -> jnp.ndarray:
+    """Inverse zig-zag (utils.rs:42-48)."""
+    return jnp.where(k % 2 == 0, k // 2, -((k + 1) // 2))

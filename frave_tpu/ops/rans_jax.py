@@ -1,0 +1,165 @@
+"""Interleaved-lane rANS as JAX scans (device compute path).
+
+Same wire semantics as the numpy host coder (frave_tpu/ops/rans.py): 32-bit
+state per lane, 16-bit renorm words, state domain [2^16, 2^32), per-context
+scale_bits <= 14 so each symbol moves at most one word in either direction.
+The TPU redesign of the reference's per-symbol serial coder
+(entropy_coding.rs:266-352):
+
+  * Encode is a `lax.scan` in reverse schedule order over the [R, NL]
+    symbol grid; every step advances all NL lanes (x C channels) at once
+    and emits at most one u16 word per lane plus an emit flag. The host
+    compacts flagged words into per-lane streams (variable-length output
+    is the one thing XLA cannot shape — SURVEY.md section 7 phase 2).
+  * Decode is a `lax.scan` over wavefront steps: contexts for a whole step
+    are computable from already-decoded coefficients (SURVEY.md section
+    3.2), so each step decodes one symbol per active lane across all
+    channels. cdf -> symbol uses a host-precomputed [10, 2^14] LUT instead
+    of the reference's binary search + linear walk
+    (entropy_coding.rs:180-185,246-255) — semantics identical: the LUT
+    entry is the *last* symbol whose cdf <= slot.
+
+All arithmetic stays in uint32: overflow-free by the rANS invariants
+(renorm guarantees x < freq << (32 - bits) before the encode step, and the
+decode product freq * (x >> bits) is bounded by the encoder's pre-state).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RANS_L = 1 << 16
+WORD_BITS = 16
+LUT_BITS = 14  # == MAX_FREQ_BITS_CAP (frave_tpu/entropy/tables.py)
+
+
+def build_decode_lut(cdfs: np.ndarray, scale_bits: np.ndarray) -> np.ndarray:
+    """Host-side: [B, 1024] cdfs + [B] bits -> [B, 2**LUT_BITS] int16 LUT.
+
+    lut[b, slot << (LUT_BITS - bits_b)] == last symbol s with cdf[b, s] <=
+    slot, reproducing the duplicate-cdf linear-walk semantics of the
+    reference decoder (entropy_coding.rs:246-255)."""
+    B = cdfs.shape[0]
+    fine = np.arange(1 << LUT_BITS, dtype=np.uint64)
+    lut = np.zeros((B, 1 << LUT_BITS), dtype=np.int16)
+    for b in range(B):
+        shift = LUT_BITS - int(scale_bits[b])
+        cdf_s = cdfs[b].astype(np.uint64) << shift
+        lut[b] = (np.searchsorted(cdf_s, fine, side="right") - 1).astype(np.int16)
+    return lut
+
+
+def encode_scan(
+    sym_grid: jnp.ndarray,  # [R, ..., NL] int32 zig-zag symbols (schedule order)
+    bkt_grid: jnp.ndarray,  # [R, ..., NL] int32 context buckets
+    valid_grid: jnp.ndarray,  # [R, ..., NL] bool
+    freqs: jnp.ndarray,  # [..., 10, 1024] uint32
+    cdfs: jnp.ndarray,  # [..., 10, 1024] uint32
+    scale_bits: jnp.ndarray,  # [..., 10] int32
+):
+    """Vectorized reverse-scan rANS encode.
+
+    Leading `...` dims (e.g. channels) are batched via vmap inside the scan
+    body. Returns (final_states [..., NL] uint32,
+    words [R, ..., NL] uint16, flags [R, ..., NL] bool): words[r] is valid
+    where flags[r]; decode consumes flagged words in increasing r.
+    """
+    lanes_shape = sym_grid.shape[1:]
+    x0 = jnp.full(lanes_shape, RANS_L, dtype=jnp.uint32)
+
+    f = freqs.astype(jnp.uint32)
+    c = cdfs.astype(jnp.uint32)
+    b = scale_bits.astype(jnp.uint32)
+
+    def gather_tabs(bkt, sym):
+        # bkt/sym: [..., NL]; tables have matching leading dims
+        def g1(tab, bk, sm):
+            return tab[bk, sm]
+
+        def g0(tab, bk):
+            return tab[bk]
+
+        gf = f
+        gc = c
+        gb = b
+        for _ in range(len(lanes_shape) - 1):
+            g1 = jax.vmap(g1)
+            g0 = jax.vmap(g0)
+        return g1(gf, bkt, sym), g1(gc, bkt, sym), g0(gb, bkt)
+
+    def step(x, row):
+        sym, bkt, valid = row
+        sym = jnp.clip(sym, 0, 1023).astype(jnp.int32)
+        bkt = jnp.clip(bkt, 0, 9).astype(jnp.int32)
+        fr, cd, bi = gather_tabs(bkt, sym)
+        fr = jnp.where(valid, fr, jnp.uint32(1))
+        cd = jnp.where(valid, cd, jnp.uint32(0))
+        bi = jnp.where(valid, bi, jnp.uint32(8))
+        # renorm: emit low 16 bits iff x >= fr << (32 - bi), computed
+        # overflow-free as (x >> (32 - bi)) >= fr
+        emit = valid & ((x >> (jnp.uint32(32) - bi)) >= fr)
+        word = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        x1 = jnp.where(emit, x >> jnp.uint32(WORD_BITS), x)
+        q = x1 // fr
+        rem = x1 - q * fr
+        x2 = (q << bi) + rem + cd
+        x_next = jnp.where(valid, x2, x1)
+        return x_next, (word, emit)
+
+    final_x, (words, flags) = jax.lax.scan(
+        step, x0, (sym_grid, bkt_grid, valid_grid), reverse=True
+    )
+    return final_x, words, flags
+
+
+def decode_step_symbols(
+    x: jnp.ndarray,  # [..., NL] uint32 lane states
+    ptr: jnp.ndarray,  # [..., NL] int32 word pointers
+    buckets: jnp.ndarray,  # [..., NL] int32
+    active: jnp.ndarray,  # [..., NL] bool
+    words: jnp.ndarray,  # [..., NL, W] uint16 padded word streams
+    lut: jnp.ndarray,  # [..., 10, 2**LUT_BITS] int16
+    freqs: jnp.ndarray,  # [..., 10, 1024] uint32
+    cdfs: jnp.ndarray,  # [..., 10, 1024] uint32
+    scale_bits: jnp.ndarray,  # [..., 10] int32
+):
+    """One decode step for all lanes. Returns (sym [..., NL] int32, x', ptr')."""
+    lanes_shape = x.shape
+
+    bkt = jnp.clip(buckets, 0, 9).astype(jnp.int32)
+
+    def g_bits(tab, bk):
+        return tab[bk]
+
+    def g_lut(tab, bk, sl):
+        return tab[bk, sl]
+
+    def g_tab(tab, bk, sm):
+        return tab[bk, sm]
+
+    def g_word(w, p):
+        return w[jnp.arange(w.shape[0]), p]
+
+    for _ in range(len(lanes_shape) - 1):
+        g_bits = jax.vmap(g_bits)
+        g_lut = jax.vmap(g_lut)
+        g_tab = jax.vmap(g_tab)
+        g_word = jax.vmap(g_word)
+
+    bi = g_bits(scale_bits.astype(jnp.uint32), bkt)
+    mask = (jnp.uint32(1) << bi) - jnp.uint32(1)
+    slot = x & mask
+    fine = (slot << (jnp.uint32(LUT_BITS) - bi)).astype(jnp.int32)
+    sym = g_lut(lut, bkt, fine).astype(jnp.int32)
+    fr = g_tab(freqs.astype(jnp.uint32), bkt, sym)
+    cd = g_tab(cdfs.astype(jnp.uint32), bkt, sym)
+    x_new = fr * (x >> bi) + slot - cd
+    need = active & (x_new < jnp.uint32(RANS_L))
+    p_safe = jnp.clip(ptr, 0, words.shape[-1] - 1)
+    w = g_word(words, p_safe).astype(jnp.uint32)
+    x_new = jnp.where(need, (x_new << jnp.uint32(WORD_BITS)) | w, x_new)
+    ptr_next = jnp.where(need, ptr + 1, ptr)
+    x_next = jnp.where(active, x_new, x)
+    return sym, x_next, ptr_next

@@ -2,14 +2,23 @@
 
 Multi-chip hardware is not available in CI; sharding tests use
 xla_force_host_platform_device_count (SURVEY.md section 4 test plan).
-Must run before jax is imported anywhere.
+
+Note: this container's sitecustomize imports jax and registers a TPU
+plugin at interpreter startup, so env vars alone are too late — the
+platform must be forced via jax.config, which works any time before
+backend initialization.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

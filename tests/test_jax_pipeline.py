@@ -1,0 +1,103 @@
+"""JAX compute-path tests: round trips + cross-backend agreement.
+
+The correctness contract (BASELINE.md): lossless round trips are bit-exact,
+and a bitstream produced by either backend decodes to identical pixels on
+both backends (parameters and tables travel in the container; context math
+is the same IEEE f32 op sequence everywhere).
+"""
+
+import numpy as np
+import pytest
+
+from frave_tpu import EncoderOptions, EncoderQuality, RasterImage, ColorSpace
+from frave_tpu.codec.encoder import FRIEncoder
+from frave_tpu.codec.decoder import FRIDecoder
+from frave_tpu.codec.container import deserialize
+from frave_tpu.codec.pipeline_np import decode_pipeline_np, encode_pipeline_np
+from frave_tpu.codec.container import serialize
+
+
+def _rand_image(h, w, c, seed):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    cs = ColorSpace.LUMA if c == 1 else ColorSpace.RGB
+    return RasterImage.from_array(arr, cs)
+
+
+def _natural_image(h, w, c, seed):
+    """Smooth gradient + low-amplitude noise: exercises the predictors."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        127
+        + 90 * np.sin(xx / 17.0)[..., None]
+        + 60 * np.cos(yy / 23.0)[..., None]
+        + rng.normal(0, 4, size=(h, w, c))
+    )
+    arr = np.clip(base, 0, 255).astype(np.uint8)
+    cs = ColorSpace.LUMA if c == 1 else ColorSpace.RGB
+    return RasterImage.from_array(arr, cs)
+
+
+@pytest.mark.parametrize(
+    "h,w,c",
+    [(32, 32, 1), (48, 32, 3), (100, 60, 1), (1, 1, 1), (7, 300, 1)],
+)
+def test_jax_lossless_roundtrip(h, w, c):
+    img = _rand_image(h, w, c, seed=h * 1000 + w + c)
+    enc = FRIEncoder(EncoderOptions(backend="jax"))
+    data = enc.encode(img)
+    out = FRIDecoder(backend="jax").decode(data)
+    np.testing.assert_array_equal(out.data, img.data)
+
+
+@pytest.mark.parametrize("h,w,c", [(64, 64, 1), (40, 56, 3)])
+def test_cross_backend_jax_encode_np_decode(h, w, c):
+    img = _natural_image(h, w, c, seed=7)
+    data = FRIEncoder(EncoderOptions(backend="jax")).encode(img)
+    out = FRIDecoder(backend="numpy").decode(data)
+    np.testing.assert_array_equal(out.data, img.data)
+
+
+@pytest.mark.parametrize("h,w,c", [(64, 64, 1), (40, 56, 3)])
+def test_cross_backend_np_encode_jax_decode(h, w, c):
+    img = _natural_image(h, w, c, seed=11)
+    data = FRIEncoder(EncoderOptions(backend="numpy")).encode(img)
+    out = FRIDecoder(backend="jax").decode(data)
+    np.testing.assert_array_equal(out.data, img.data)
+
+
+@pytest.mark.parametrize("quality", [EncoderQuality.HIGH, EncoderQuality.LOW])
+def test_jax_lossy_decoders_agree(quality):
+    """Lossy bitstreams must decode to the SAME pixels on both backends."""
+    img = _natural_image(56, 72, 1, seed=13)
+    data = FRIEncoder(EncoderOptions(backend="jax", quality=quality)).encode(img)
+    out_jax = FRIDecoder(backend="jax").decode(data)
+    out_np = FRIDecoder(backend="numpy").decode(data)
+    np.testing.assert_array_equal(out_jax.data, out_np.data)
+    # and the distortion must be bounded for a natural image
+    mse = float(np.mean((out_jax.data.astype(np.float64) - img.data) ** 2))
+    assert mse < 400.0
+
+
+def test_jax_lossy_roundtrip_psnr_ordering():
+    """Higher quality must not have worse PSNR (rate/PSNR sweep sanity,
+    BASELINE.json config 2)."""
+    img = _natural_image(64, 64, 1, seed=3)
+    mses = {}
+    sizes = {}
+    for q in (EncoderQuality.LOSSLESS, EncoderQuality.HIGH, EncoderQuality.LOW):
+        data = FRIEncoder(EncoderOptions(backend="jax", quality=q)).encode(img)
+        out = FRIDecoder(backend="jax").decode(data)
+        mses[q] = float(np.mean((out.data.astype(np.float64) - img.data) ** 2))
+        sizes[q] = len(data)
+    assert mses[EncoderQuality.LOSSLESS] == 0.0
+    assert mses[EncoderQuality.HIGH] <= mses[EncoderQuality.LOW]
+    assert sizes[EncoderQuality.LOW] <= sizes[EncoderQuality.HIGH] <= sizes[EncoderQuality.LOSSLESS]
+
+
+def test_jax_deterministic_bitstream():
+    img = _rand_image(40, 40, 1, seed=5)
+    d1 = FRIEncoder(EncoderOptions(backend="jax")).encode(img)
+    d2 = FRIEncoder(EncoderOptions(backend="jax")).encode(img)
+    assert d1 == d2
