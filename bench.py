@@ -47,25 +47,32 @@ def make_corpus(n: int, h: int, w: int, c: int, seed: int = 0) -> np.ndarray:
 
 
 def bench_jax(corpus: np.ndarray, reps: int = 3) -> float:
-    from frave_tpu import EncoderOptions
-    from frave_tpu.codec.decoder import FRIDecoder
-    from frave_tpu.codec.encoder import FRIEncoder
+    """Batched encode -> container bytes -> batched decode, verified."""
+    from frave_tpu import EncoderOptions, RasterImage
+    from frave_tpu.codec.container import deserialize, serialize
+    from frave_tpu.codec.pipeline_jax import (
+        decode_pipeline_jax_batch,
+        encode_pipeline_jax_batch,
+    )
 
-    enc = FRIEncoder(EncoderOptions(backend="jax"))
-    dec = FRIDecoder(backend="jax")
+    opts = EncoderOptions(backend="jax")
     n, h, w, c = corpus.shape
+    imgs = [RasterImage.from_array(corpus[i]) for i in range(n)]
 
-    # warmup (compile)
-    blob = enc.encode(corpus[0])
-    out = dec.decode(blob)
-    np.testing.assert_array_equal(out.data, corpus[0])
+    def roundtrip():
+        blobs = [serialize(ci) for ci in encode_pipeline_jax_batch(imgs, opts)]
+        outs = decode_pipeline_jax_batch([deserialize(b) for b in blobs])
+        return blobs, outs
+
+    blobs, outs = roundtrip()  # warmup (compile)
+    for i in range(n):
+        np.testing.assert_array_equal(outs[i].data, corpus[i])
 
     mp = n * h * w / 1e6
     best = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
-        blobs = [enc.encode(corpus[i]) for i in range(n)]
-        outs = [dec.decode(b) for b in blobs]
+        blobs, outs = roundtrip()
         dt = time.perf_counter() - t0
         best = max(best, mp / dt)
     for i in range(n):

@@ -24,6 +24,12 @@ from pathlib import Path
 
 import numpy as np
 
+# First XLA compile of a codec program is expensive (minutes per new image
+# shape through this container's remote-compile tunnel); persist compiled
+# executables across processes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 
 def _load_image(path: str):
     from PIL import Image

@@ -1,26 +1,31 @@
 """JAX/XLA codec pipeline — the TPU compute path.
 
 Stage flow mirrors the reference drivers (encoder.rs:6-49, decoder.rs:6-42)
-but is organized around XLA's compilation model (SURVEY.md section 7):
+but is organized around XLA's compilation model and this environment's
+host<->device cost model (SURVEY.md section 7):
 
   * Geometry + wavefront schedule are host-precomputed index tensors
-    (frave_tpu/fractal/) baked into a per-(h, w, depth, lanes, channels)
-    `CodecProgram` whose jitted stages are compiled once and cached.
-  * `encode_analyze` is ONE fused device program: leaf gather -> lifting ->
+    (frave_tpu/fractal/) uploaded once per `CodecProgram` and passed to the
+    jitted stages as device-resident arguments.
+  * Encode is ONE fused device program: leaf gather -> lifting ->
     quantization -> Gram-matrix predictor fit (Cholesky solve of the 6x6
     normal equations on device — the TPU-native replacement of the
     reference's dense lstsq, context_modeling.rs:168,185) -> contexts ->
-    zig-zag symbols -> per-bucket histograms (scatter-add segment sum).
-  * Context tables are finalized on host (tiny integer loops with exact
-    reference semantics, frave_tpu/entropy/tables.py) — they are wire
-    metadata, not bulk compute.
-  * `encode_entropy` runs the vectorized reverse-scan rANS over all lanes;
-    the host compacts flagged words into per-lane streams for the mux.
-  * `decode_scan` is a single lax.scan over wavefront steps: every step
-    gathers causal neighbours, recomputes contexts (identical f32 op
-    sequence as encode — the self-consistency contract of
-    entropy_coding.rs:205-264), advances all rANS lanes of all channels
-    once, and scatters decoded coefficients.
+    zig-zag symbols -> per-bucket histograms -> context-table finalization
+    ON DEVICE (frave_tpu/entropy/tables_jax.py, exact twin of the host
+    tables) -> vectorized reverse-scan rANS over all lanes -> per-lane
+    stream compaction -> ONE packed int32 output vector. A single
+    device->host fetch returns everything the container needs; transfers
+    through this environment's device tunnel cost ~50ms latency each, so
+    fetch count dominates wall clock for small images.
+  * Decode is a single lax.scan over wavefront steps: every step gathers
+    causal neighbours, recomputes contexts (identical f32 op sequence as
+    encode — the self-consistency contract of entropy_coding.rs:205-264),
+    advances all rANS lanes of all channels once, scatters decoded
+    coefficients; then dequantizes, inverse-lifts and emits pixels — one
+    fetch.
+  * Batching: same-shape images vmap over a leading batch axis, so a
+    corpus pays the fetch latency once per batch, not per image.
 
 Numerical notes: the predictor fit uses f32 Gram matrices on device (the
 numpy oracle uses f64 + SVD lstsq) — fitted parameters differ slightly
@@ -33,7 +38,6 @@ from __future__ import annotations
 
 import dataclasses
 import threading
-from functools import partial
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -46,13 +50,18 @@ from ..images import (
     CompressedImage,
     RasterImage,
 )
-from ..entropy.tables import ALPHABET_SIZE, CONTEXT_AMOUNT, context_from_histogram
-from ..fractal.geometry import get_geometry
+from ..entropy.tables import (
+    ALPHABET_SIZE,
+    CONTEXT_AMOUNT,
+    _LAPLACE_ROWS,
+    context_from_wire,
+)
+from ..entropy.tables_jax import finalize_contexts_device
+from ..fractal.geometry import BASE_FRAC_DEPTH, get_geometry
 from ..fractal.schedule import default_num_lanes, get_lane_steps, get_schedule
 from ..ops import jax_ops as J
 from ..ops.rans_jax import (
     LUT_BITS,
-    RANS_L,
     build_decode_lut,
     decode_step_symbols,
     encode_scan,
@@ -77,6 +86,16 @@ def _gram_solve(G: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return x[..., 0]
 
 
+def _i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+# Packed-output layout constants (per channel, int32 words):
+#   vparams(18) wparams(18) bits(10) off_bitmask(10*32)
+#   states(NL) counts(NL) packed_words(NL * ceil(R/2))
+_HDR = 18 + 18 + CONTEXT_AMOUNT + CONTEXT_AMOUNT * (ALPHABET_SIZE // 32)
+
+
 @dataclasses.dataclass
 class CodecProgram:
     """Compiled codec for one (height, width, depth, num_lanes, channels)."""
@@ -92,220 +111,283 @@ class CodecProgram:
     rows: int  # R = ceil(K / NL)
     n_slots: int
 
-    # jitted entry points (built in build_program)
-    encode_analyze: callable = None
-    encode_entropy: callable = None
-    decode_scan: callable = None
+    def __post_init__(self):
+        h, w, depth, nl, C = (
+            self.height,
+            self.width,
+            self.depth,
+            self.nl,
+            self.channels,
+        )
+        geo = get_geometry(h, w, depth)
+        sched = get_schedule(h, w, depth)
+        steps = get_lane_steps(h, w, nl, depth)
+
+        T, N = geo.num_tiles, geo.nodes_per_tile
+        n_slots = T * N
+        K = sched.num_symbols
+        R = self.rows
+        S = steps.num_steps
+        HW = h * w
+        Rp2 = (R + 1) // 2
+        self.chan_words = _HDR + 2 * nl + nl * Rp2
+
+        # ---- device-resident geometry/schedule tensors (uploaded once) ----
+        pg = geo.pixel_gather.astype(np.int32)  # [T, N]
+        put = jax.device_put
+        self._enc_args = (
+            put(np.where(pg >= 0, pg, 0).astype(np.int32)),  # leaf_safe
+            put(pg >= 0),  # leaf_mask
+            put(sched.sched_coef.astype(np.int32)),  # sc [K]
+            put(
+                np.where(
+                    sched.sched_nbr >= 0, sched.sched_nbr, n_slots
+                ).astype(np.int32)
+            ),  # snbr_safe [K, 6]
+            put(sched.sched_lf.astype(bool)),  # slf
+            put(sched.sched_group.astype(np.int32)),  # sgrp
+            put(_LAPLACE_ROWS.astype(np.uint32)),  # lap rows [10, 7, 1024]
+        )
+        st_coef = steps.step_coef.astype(np.int32)
+        st_active = st_coef >= 0
+        self._dec_args = (
+            put(np.where(st_active, st_coef, n_slots).astype(np.int32)),
+            put(st_active),
+            put(
+                np.where(steps.step_nbr >= 0, steps.step_nbr, n_slots).astype(
+                    np.int32
+                )
+            ),
+            put(steps.step_lf.astype(bool)),
+            put(steps.step_group.astype(np.int32)),
+            put(np.where(pg >= 0, pg, HW).astype(np.int32).reshape(-1)),  # pix_safe
+        )
+
+        # ------------- fused encode (single image [C, HW]) -------------
+        def encode_fused(
+            pixels, qdiv, leaf_safe, leaf_mask, sc, snbr_safe, slf, sgrp, lap
+        ):
+            leaves = jnp.where(
+                leaf_mask[None], pixels[:, leaf_safe], 0
+            ).astype(jnp.int32)  # [C, T, N]
+            coef = J.forward_lifting(leaves, leaf_mask[None], depth)
+            qcoef = J.quantize(coef, qdiv[None, None, :])
+            qpad = jnp.concatenate(
+                [qcoef.reshape(C, n_slots), jnp.zeros((C, 1), jnp.int32)],
+                axis=1,
+            )
+
+            vals = qpad[:, snbr_safe]  # [C, K, 6]
+            target = qpad[:, sc]  # [C, K]
+            hf = ~slf
+
+            # --- value-predictor fit: per-group f32 Gram + Cholesky solve
+            Xf = vals.astype(jnp.float32)
+            yf = target.astype(jnp.float32)
+            gmask = jnp.stack(
+                [(hf & (sgrp == g)).astype(jnp.float32) for g in range(3)]
+            )  # [3, K]
+            Xg = Xf[:, None, :, :] * gmask[None, :, :, None]  # [C, 3, K, 6]
+            G = jnp.einsum("cgkx,cky->cgxy", Xg, Xf)
+            bv = jnp.einsum("cgkx,ck->cgx", Xg, yf)
+            vparams = _gram_solve(G, bv)  # [C, 3, 6]
+
+            # --- width-predictor fit on [1, 5 gradient features]
+            vp_by_k = vparams[:, sgrp, :]  # [C, K, 6]
+            pred_fit = jnp.sum(Xf * vp_by_k, axis=-1)
+            r = jnp.abs(yf - pred_fit)
+            F = jnp.stack(
+                [
+                    jnp.ones_like(yf),
+                    jnp.abs(Xf[..., 0] - Xf[..., 3]),
+                    jnp.abs(Xf[..., 1] - Xf[..., 2]),
+                    jnp.abs(Xf[..., 4] - Xf[..., 5]),
+                    jnp.abs(Xf[..., 1] - Xf[..., 5]),
+                    jnp.abs(Xf[..., 2] - Xf[..., 4]),
+                ],
+                axis=-1,
+            )
+            Fg = F[:, None, :, :] * gmask[None, :, :, None]
+            Gw = jnp.einsum("cgkx,cky->cgxy", Fg, F)
+            bw = jnp.einsum("cgkx,ck->cgx", Fg, r)
+            wparams = _gram_solve(Gw, bw)
+
+            # --- contexts + symbols (parallel over all K on encode)
+            buckets, preds = jax.vmap(
+                lambda v, vp, wp: J.contexts(v, slf, sgrp, vp, wp)
+            )(vals, vparams, wparams)
+            symbols = J.pack_signed(target - preds)  # [C, K] int32
+
+            ids = (
+                jnp.arange(C, dtype=jnp.int32)[:, None]
+                * (CONTEXT_AMOUNT * ALPHABET_SIZE)
+                + buckets * ALPHABET_SIZE
+                + jnp.clip(symbols, 0, ALPHABET_SIZE - 1)
+            )
+            hist = (
+                jnp.zeros(C * CONTEXT_AMOUNT * ALPHABET_SIZE, jnp.int32)
+                .at[ids.reshape(-1)]
+                .add(1)
+                .reshape(C, CONTEXT_AMOUNT, ALPHABET_SIZE)
+            )
+
+            # --- context tables on device (exact host twin)
+            bits, freqs, cdfs, off_mask = finalize_contexts_device(hist, lap)
+
+            # --- rANS encode over [R, C, NL] grids
+            pad = R * nl - K
+            def grid(a, fill):
+                a = jnp.concatenate(
+                    [a, jnp.full((C, pad), fill, dtype=a.dtype)], axis=1
+                )
+                return a.reshape(C, R, nl).transpose(1, 0, 2)
+
+            sym_g = grid(symbols, 0)
+            bkt_g = grid(buckets, 0)
+            val_g = grid(jnp.ones((C, K), dtype=jnp.bool_), False)
+            states, words, flags = encode_scan(
+                sym_g,
+                bkt_g,
+                val_g,
+                freqs.astype(jnp.uint32),
+                cdfs.astype(jnp.uint32),
+                bits,
+            )  # [C, NL] u32, [R, C, NL] u16, [R, C, NL] bool
+
+            # --- per-lane compaction (decode order = increasing r)
+            fi = flags.astype(jnp.int32)
+            pos = jnp.cumsum(fi, axis=0) - 1
+            idx = jnp.where(flags, pos, R)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (R, C, nl), 1)
+            ll = jax.lax.broadcasted_iota(jnp.int32, (R, C, nl), 2)
+            compact = (
+                jnp.zeros((R + 1, C, nl), jnp.uint16)
+                .at[idx, cc, ll]
+                .set(words, mode="drop")
+            )[:R].transpose(1, 2, 0)  # [C, NL, R]
+            counts = jnp.sum(fi, axis=0)  # [C, NL]
+            if R % 2:
+                compact = jnp.concatenate(
+                    [compact, jnp.zeros((C, nl, 1), jnp.uint16)], axis=2
+                )
+            wpk = compact[:, :, 0::2].astype(jnp.uint32) | (
+                compact[:, :, 1::2].astype(jnp.uint32) << 16
+            )  # [C, NL, Rp2]
+
+            # --- off bitmask: [C, 10, 1024] -> [C, 10, 32] u32
+            om = off_mask.reshape(C, CONTEXT_AMOUNT, ALPHABET_SIZE // 32, 32)
+            shifts = jnp.arange(32, dtype=jnp.uint32)
+            ompk = jnp.sum(
+                om.astype(jnp.uint32) << shifts, axis=-1, dtype=jnp.uint32
+            )
+
+            # --- single packed int32 output
+            packed = jnp.concatenate(
+                [
+                    _i32(vparams).reshape(C, -1),
+                    _i32(wparams).reshape(C, -1),
+                    bits.astype(jnp.int32),
+                    _i32(ompk).reshape(C, -1),
+                    _i32(states),
+                    counts,
+                    _i32(wpk).reshape(C, -1),
+                ],
+                axis=1,
+            )  # [C, chan_words]
+            return packed.reshape(-1)
+
+        # ------------- decode (single image) -------------
+        def decode_fused(
+            states,  # [C, NL] uint32
+            words,  # [C, NL, W] uint16
+            lut,  # [C, 10, 2**LUT_BITS] int16
+            freqs,  # [C, 10, 1024] uint32
+            cdfs,  # [C, 10, 1024] uint32
+            bits,  # [C, 10] int32
+            vparams,  # [C, 3, 6] f32
+            wparams,  # [C, 3, 6] f32
+            qdiv,  # [N] int32
+            d_coef,
+            d_active,
+            d_nbr,
+            d_lf,
+            d_grp,
+            pix_safe,
+        ):
+            qpad0 = jnp.zeros((C, n_slots + 1), dtype=jnp.int32)
+            ptr0 = jnp.zeros((C, nl), dtype=jnp.int32)
+
+            def body(carry, xs):
+                qpad, x, ptr = carry
+                coef_safe, active, nbr_safe, lf, grp = xs
+                vals = qpad[:, nbr_safe]  # [C, NL, 6]
+                buckets, preds = jax.vmap(
+                    lambda v, vp, wp: J.contexts(v, lf, grp, vp, wp)
+                )(vals, vparams, wparams)
+                act = jnp.broadcast_to(active[None], (C, nl))
+                sym, x, ptr = decode_step_symbols(
+                    x, ptr, buckets, act, words, lut, freqs, cdfs, bits
+                )
+                values = J.unpack_signed(sym) + preds
+                wslot = jnp.where(act, coef_safe[None], n_slots)
+                wval = jnp.where(act, values, 0)
+                qpad = jax.vmap(lambda q, s, v: q.at[s].set(v))(
+                    qpad, wslot, wval
+                )
+                return (qpad, x, ptr), None
+
+            (qpad, _, _), _ = jax.lax.scan(
+                body,
+                (qpad0, states, ptr0),
+                (d_coef, d_active, d_nbr, d_lf, d_grp),
+            )
+            qcoef = qpad[:, :n_slots].reshape(C, T, N)
+            coef = J.dequantize(qcoef, qdiv[None, None, :])
+            leaves = J.inverse_lifting(coef, depth)
+            out = jnp.zeros((C, HW + 1), dtype=jnp.int32)
+            out = out.at[:, pix_safe].set(leaves.reshape(C, -1))
+            return jnp.clip(out[:, :HW], 0, 255).astype(jnp.uint8)
+
+        self._encode_fused = encode_fused
+        self._decode_fused = decode_fused
+        self._enc_jit: Dict[int, callable] = {}
+        self._dec_jit: Dict[int, callable] = {}
+
+    # ---------------- batched jit entry points ----------------
+    def encode_exec(self, pixels_b: jnp.ndarray, qdiv: jnp.ndarray):
+        """pixels_b: [B, C, HW] int32 -> packed [B, C * chan_words] i32."""
+        B = pixels_b.shape[0]
+        fn = self._enc_jit.get(B)
+        if fn is None:
+            n_static = len(self._enc_args) + 1  # qdiv + schedule tensors
+            fn = jax.jit(
+                jax.vmap(
+                    self._encode_fused,
+                    in_axes=(0,) + (None,) * n_static,
+                )
+            )
+            self._enc_jit[B] = fn
+        return fn(pixels_b, qdiv, *self._enc_args)
+
+    def decode_exec(self, states, words, lut, freqs, cdfs, bits, vp, wp, qdiv):
+        """All args batched on axis 0 (B) -> pixels [B, C, HW] uint8."""
+        B = states.shape[0]
+        W = words.shape[-1]
+        key = (B, W)
+        fn = self._dec_jit.get(key)
+        if fn is None:
+            fn = jax.jit(
+                jax.vmap(
+                    self._decode_fused,
+                    in_axes=(0,) * 8 + (None,) * 7,
+                )
+            )
+            self._dec_jit[key] = fn
+        return fn(states, words, lut, freqs, cdfs, bits, vp, wp, qdiv, *self._dec_args)
 
 
 _program_cache: Dict[Tuple[int, int, int, int, int], CodecProgram] = {}
 _cache_lock = threading.Lock()
-
-
-def build_program(
-    height: int, width: int, depth: int, nl: int, channels: int
-) -> CodecProgram:
-    geo = get_geometry(height, width, depth)
-    sched = get_schedule(height, width, depth)
-    steps = get_lane_steps(height, width, nl, depth)
-
-    T, N = geo.num_tiles, geo.nodes_per_tile
-    n_slots = T * N
-    K = sched.num_symbols
-    R = -(-K // nl)
-    S = steps.num_steps
-    C = channels
-    HW = height * width
-
-    # ---- device constants (embedded in the jitted programs) ----
-    pg = geo.pixel_gather.astype(np.int32)  # [T, N], -1 OOB
-    pix_safe = np.where(pg >= 0, pg, HW).astype(np.int32)  # pad pixel slot
-    leaf_mask = pg >= 0
-    leaf_safe = np.where(leaf_mask, pg, 0).astype(np.int32)
-
-    sc = sched.sched_coef.astype(np.int32)  # [K]
-    snbr = sched.sched_nbr.astype(np.int32)  # [K, 6]
-    snbr_safe = np.where(snbr >= 0, snbr, n_slots).astype(np.int32)
-    slf = sched.sched_lf.astype(bool)
-    sgrp = sched.sched_group.astype(np.int32)
-
-    st_coef = steps.step_coef.astype(np.int32)  # [S, NL]
-    st_active = st_coef >= 0
-    st_coef_safe = np.where(st_active, st_coef, n_slots).astype(np.int32)
-    st_nbr = steps.step_nbr.astype(np.int32)
-    st_nbr_safe = np.where(st_nbr >= 0, st_nbr, n_slots).astype(np.int32)
-    st_lf = steps.step_lf.astype(bool)
-    st_grp = steps.step_group.astype(np.int32)
-
-    prog = CodecProgram(
-        height=height,
-        width=width,
-        depth=depth,
-        nl=nl,
-        channels=C,
-        num_tiles=T,
-        num_symbols=K,
-        num_steps=S,
-        rows=R,
-        n_slots=n_slots,
-    )
-
-    # ---------------- encode_analyze ----------------
-    @jax.jit
-    def encode_analyze(pixels: jnp.ndarray, qdiv: jnp.ndarray):
-        """pixels [C, H*W] int32, qdiv [N] int32 ->
-        (qflat [C, n_slots] i32, vparams [C,3,6] f32, wparams [C,3,6] f32,
-         symbols [C, K] i32, buckets [C, K] i32, hist [C, 10, 1024] i32)."""
-        leaves = jnp.where(
-            jnp.asarray(leaf_mask)[None], pixels[:, jnp.asarray(leaf_safe)], 0
-        ).astype(jnp.int32)  # [C, T, N]
-        coef = J.forward_lifting(leaves, jnp.asarray(leaf_mask)[None], depth)
-        qcoef = J.quantize(coef, qdiv[None, None, :])
-        qflat = qcoef.reshape(C, n_slots)
-        qpad = jnp.concatenate(
-            [qflat, jnp.zeros((C, 1), dtype=jnp.int32)], axis=1
-        )  # [C, n_slots + 1]
-
-        vals = qpad[:, jnp.asarray(snbr_safe)]  # [C, K, 6]
-        target = qpad[:, jnp.asarray(sc)]  # [C, K]
-        lf = jnp.asarray(slf)
-        grp = jnp.asarray(sgrp)
-        hf = ~lf
-
-        # --- value-predictor fit: per-group f32 Gram + Cholesky solve
-        Xf = vals.astype(jnp.float32)
-        yf = target.astype(jnp.float32)
-        gmask = jnp.stack(
-            [(hf & (grp == g)).astype(jnp.float32) for g in range(3)]
-        )  # [3, K]
-        Xg = Xf[:, None, :, :] * gmask[None, :, :, None]  # [C, 3, K, 6]
-        G = jnp.einsum("cgkx,cky->cgxy", Xg, Xf)  # [C, 3, 6, 6]
-        bv = jnp.einsum("cgkx,ck->cgx", Xg, yf)  # [C, 3, 6]
-        vparams = _gram_solve(G, bv)  # [C, 3, 6]
-
-        # --- width-predictor fit: |residual| on [1, 5 gradient features]
-        vp_by_k = vparams[:, grp, :]  # [C, K, 6]
-        pred = jnp.sum(Xf * vp_by_k, axis=-1)  # f32 reduction; fit-only
-        r = jnp.abs(yf - pred)
-        ones = jnp.ones_like(yf)
-        F = jnp.stack(
-            [
-                ones,
-                jnp.abs(Xf[..., 0] - Xf[..., 3]),
-                jnp.abs(Xf[..., 1] - Xf[..., 2]),
-                jnp.abs(Xf[..., 4] - Xf[..., 5]),
-                jnp.abs(Xf[..., 1] - Xf[..., 5]),
-                jnp.abs(Xf[..., 2] - Xf[..., 4]),
-            ],
-            axis=-1,
-        )  # [C, K, 6]
-        Fg = F[:, None, :, :] * gmask[None, :, :, None]
-        Gw = jnp.einsum("cgkx,cky->cgxy", Fg, F)
-        bw = jnp.einsum("cgkx,ck->cgx", Fg, r)
-        wparams = _gram_solve(Gw, bw)
-
-        # --- contexts + symbols (parallel over all K on encode)
-        buckets, preds = jax.vmap(
-            lambda v, vp, wp: J.contexts(v, lf, grp, vp, wp)
-        )(vals, vparams, wparams)
-        residuals = target - preds
-        symbols = J.pack_signed(residuals)  # [C, K] int32
-
-        ids = (
-            jnp.arange(C, dtype=jnp.int32)[:, None] * (CONTEXT_AMOUNT * ALPHABET_SIZE)
-            + buckets * ALPHABET_SIZE
-            + jnp.clip(symbols, 0, ALPHABET_SIZE - 1)
-        )
-        hist = (
-            jnp.zeros(C * CONTEXT_AMOUNT * ALPHABET_SIZE, dtype=jnp.int32)
-            .at[ids.reshape(-1)]
-            .add(1)
-            .reshape(C, CONTEXT_AMOUNT, ALPHABET_SIZE)
-        )
-        return qflat, vparams, wparams, symbols, buckets, hist
-
-    # ---------------- encode_entropy ----------------
-    @jax.jit
-    def encode_entropy(
-        symbols: jnp.ndarray,  # [C, K] int32
-        buckets: jnp.ndarray,  # [C, K] int32
-        freqs: jnp.ndarray,  # [C, 10, 1024] uint32
-        cdfs: jnp.ndarray,  # [C, 10, 1024] uint32
-        bits: jnp.ndarray,  # [C, 10] int32
-    ):
-        pad = R * nl - K
-        def grid(a, fill):
-            a = jnp.concatenate(
-                [a, jnp.full((C, pad), fill, dtype=a.dtype)], axis=1
-            )
-            return a.reshape(C, R, nl).transpose(1, 0, 2)  # [R, C, NL]
-
-        sym_g = grid(symbols, 0)
-        bkt_g = grid(buckets, 0)
-        val_g = grid(jnp.ones((C, K), dtype=jnp.bool_), False)
-        states, words, flags = encode_scan(sym_g, bkt_g, val_g, freqs, cdfs, bits)
-        return states, words, flags  # [C, NL], [R, C, NL] u16, [R, C, NL] bool
-
-    # ---------------- decode_scan ----------------
-    d_coef = jnp.asarray(st_coef_safe)
-    d_active = jnp.asarray(st_active)
-    d_nbr = jnp.asarray(st_nbr_safe)
-    d_lf = jnp.asarray(st_lf)
-    d_grp = jnp.asarray(st_grp)
-
-    @jax.jit
-    def decode_scan(
-        states: jnp.ndarray,  # [C, NL] uint32
-        words: jnp.ndarray,  # [C, NL, W] uint16
-        lut: jnp.ndarray,  # [C, 10, 2**LUT_BITS] int16
-        freqs: jnp.ndarray,  # [C, 10, 1024] uint32
-        cdfs: jnp.ndarray,  # [C, 10, 1024] uint32
-        bits: jnp.ndarray,  # [C, 10] int32
-        vparams: jnp.ndarray,  # [C, 3, 6] f32
-        wparams: jnp.ndarray,  # [C, 3, 6] f32
-        qdiv: jnp.ndarray,  # [N] int32
-    ):
-        qpad0 = jnp.zeros((C, n_slots + 1), dtype=jnp.int32)
-        ptr0 = jnp.zeros((C, nl), dtype=jnp.int32)
-
-        def body(carry, xs):
-            qpad, x, ptr = carry
-            coef_safe, active, nbr_safe, lf, grp = xs
-            vals = qpad[:, nbr_safe]  # [C, NL, 6]
-            buckets, preds = jax.vmap(
-                lambda v, vp, wp: J.contexts(v, lf, grp, vp, wp)
-            )(vals, vparams, wparams)
-            act = jnp.broadcast_to(active[None], (C, nl))
-            sym, x, ptr = decode_step_symbols(
-                x, ptr, buckets, act, words, lut, freqs, cdfs, bits
-            )
-            values = J.unpack_signed(sym) + preds
-            wslot = jnp.where(act, coef_safe[None], n_slots)
-            wval = jnp.where(act, values, 0)
-            qpad = jax.vmap(lambda q, s, v: q.at[s].set(v))(qpad, wslot, wval)
-            return (qpad, x, ptr), None
-
-        (qpad, _, _), _ = jax.lax.scan(
-            body, (qpad0, states, ptr0), (d_coef, d_active, d_nbr, d_lf, d_grp)
-        )
-        qflat = qpad[:, :n_slots]
-
-        # dequant + inverse lifting + pixel scatter
-        qcoef = qflat.reshape(C, T, N)
-        qdiv_full = qdiv[None, None, :]
-        coef = J.dequantize(qcoef, qdiv_full)
-        leaves = J.inverse_lifting(coef, depth)  # [C, T, N]
-        out = jnp.zeros((C, HW + 1), dtype=jnp.int32)
-        out = out.at[:, jnp.asarray(pix_safe).reshape(-1)].set(
-            leaves.reshape(C, -1)
-        )
-        pixels = jnp.clip(out[:, :HW], 0, 255).astype(jnp.uint8)
-        return pixels
-
-    prog.encode_analyze = encode_analyze
-    prog.encode_entropy = encode_entropy
-    prog.decode_scan = decode_scan
-    return prog
 
 
 def get_program(height: int, width: int, depth: int, nl: int, channels: int) -> CodecProgram:
@@ -313,160 +395,196 @@ def get_program(height: int, width: int, depth: int, nl: int, channels: int) -> 
     with _cache_lock:
         p = _program_cache.get(key)
     if p is None:
-        p = build_program(height, width, depth, nl, channels)
+        geo = get_geometry(height, width, depth)
+        sched = get_schedule(height, width, depth)
+        steps = get_lane_steps(height, width, nl, depth)
+        K = sched.num_symbols
+        p = CodecProgram(
+            height=height,
+            width=width,
+            depth=depth,
+            nl=nl,
+            channels=channels,
+            num_tiles=geo.num_tiles,
+            num_symbols=K,
+            num_steps=steps.num_steps,
+            rows=-(-K // nl),
+            n_slots=geo.num_coef_slots,
+        )
         with _cache_lock:
             _program_cache[key] = p
     return p
 
 
-def _compact_words(
-    words: np.ndarray, flags: np.ndarray
-) -> List[List[np.ndarray]]:
-    """[R, C, NL] u16 + bool -> per-channel list of per-lane streams in
-    decode order (increasing r of flagged rows)."""
-    R, C, NL = flags.shape
-    out: List[List[np.ndarray]] = []
+def _qdiv_array(qm: np.ndarray, depth: int) -> np.ndarray:
+    n = 1 << depth
+    layers = np.floor(np.log2(np.arange(n) + 1)).astype(np.int32)
+    return np.asarray(qm, dtype=np.int32)[layers]
+
+
+def _unpack_channels(
+    packed: np.ndarray, prog: CodecProgram
+) -> List[ChannelData]:
+    """One fetched int32 vector -> per-channel container fields."""
+    C, nl, R = prog.channels, prog.nl, prog.rows
+    Rp2 = (R + 1) // 2
+    out: List[ChannelData] = []
+    arr = packed.reshape(C, prog.chan_words)
     for c in range(C):
-        lanes = []
-        f = flags[:, c, :]
-        w = words[:, c, :]
-        for l in range(NL):
-            lanes.append(w[f[:, l], l].astype(np.uint16))
-        out.append(lanes)
+        v = arr[c]
+        o = 0
+        vp = v[o : o + 18].view(np.float32).reshape(3, 6).copy(); o += 18
+        wp = v[o : o + 18].view(np.float32).reshape(3, 6).copy(); o += 18
+        bits = v[o : o + CONTEXT_AMOUNT].copy(); o += CONTEXT_AMOUNT
+        nmask = CONTEXT_AMOUNT * (ALPHABET_SIZE // 32)
+        ompk = v[o : o + nmask].view(np.uint32).reshape(CONTEXT_AMOUNT, -1)
+        o += nmask
+        states = v[o : o + nl].view(np.uint32).copy(); o += nl
+        counts = v[o : o + nl].copy(); o += nl
+        wpk = v[o : o + nl * Rp2].view(np.uint32).reshape(nl, Rp2)
+        words_u16 = wpk.view(np.uint16).reshape(nl, 2 * Rp2)
+
+        contexts = []
+        for b in range(CONTEXT_AMOUNT):
+            mask_bits = (
+                (ompk[b][:, None] >> np.arange(32, dtype=np.uint32)) & 1
+            ).astype(bool).reshape(-1)
+            off = np.nonzero(mask_bits)[0].astype(np.uint16)
+            t = context_from_wire(b, int(bits[b]), off.tolist())
+            contexts.append(
+                AnsContextTables(
+                    max_freq_bits=t.max_freq_bits,
+                    off_distribution_values=t.off_distribution_values,
+                    freqs=t.freqs,
+                    cdf=t.cdf,
+                )
+            )
+        lane_words = [
+            words_u16[l, : int(counts[l])].copy() for l in range(nl)
+        ]
+        out.append(
+            ChannelData(
+                ans_contexts=contexts,
+                lane_states=states,
+                lane_words=lane_words,
+                value_prediction_parameters=vp,
+                width_prediction_parameters=wp,
+            )
+        )
     return out
 
 
-def encode_pipeline_jax(image: RasterImage, opts: EncoderOptions) -> CompressedImage:
-    from ..fractal.geometry import BASE_FRAC_DEPTH
-
-    meta = image.metadata
+def encode_pipeline_jax_batch(
+    images: List[RasterImage], opts: EncoderOptions
+) -> List[CompressedImage]:
+    """Encode a batch of SAME-SHAPE images in one device dispatch + fetch."""
+    meta = images[0].metadata
     C = meta.num_channels
+    B = len(images)
+    for im in images:
+        if im.metadata != meta:
+            raise ValueError("batch images must share shape and colorspace")
     sched = get_schedule(meta.height, meta.width)
     nl = opts.num_lanes or default_num_lanes(sched.num_symbols)
     prog = get_program(meta.height, meta.width, BASE_FRAC_DEPTH, nl, C)
 
-    pixels = jnp.asarray(
-        image.data.reshape(-1, C).T.astype(np.int32)
-    )  # [C, H*W]
     qm = quantization_matrix(opts.quality)
-    qdiv = jnp.asarray(
-        np.asarray(qm, dtype=np.int32)[
-            np.floor(
-                np.log2(np.arange(prog.n_slots // prog.num_tiles) + 1)
-            ).astype(np.int32)
-        ]
-    )
+    qdiv = jnp.asarray(_qdiv_array(qm, BASE_FRAC_DEPTH))
+    pixels = jnp.asarray(
+        np.stack(
+            [im.data.reshape(-1, C).T.astype(np.int32) for im in images]
+        )
+    )  # [B, C, HW]
 
-    _, vparams, wparams, symbols, buckets, hist = prog.encode_analyze(
-        pixels, qdiv
-    )
-
-    hist_np = np.asarray(hist)
-    all_contexts: List[List] = []
-    freqs = np.zeros((C, CONTEXT_AMOUNT, ALPHABET_SIZE), dtype=np.uint32)
-    cdfs = np.zeros_like(freqs)
-    bits = np.zeros((C, CONTEXT_AMOUNT), dtype=np.int32)
-    for c in range(C):
-        ctxs = [
-            context_from_histogram(hist_np[c, b].astype(np.uint32), b)
-            for b in range(CONTEXT_AMOUNT)
-        ]
-        all_contexts.append(ctxs)
-        for b, t in enumerate(ctxs):
-            freqs[c, b] = t.freqs
-            cdfs[c, b] = t.cdf
-            bits[c, b] = t.max_freq_bits
-
-    states, words, flags = prog.encode_entropy(
-        symbols, buckets, jnp.asarray(freqs), jnp.asarray(cdfs), jnp.asarray(bits)
-    )
-    lane_streams = _compact_words(np.asarray(words), np.asarray(flags))
-    states_np = np.asarray(states)
-    vparams_np = np.asarray(vparams)
-    wparams_np = np.asarray(wparams)
-
-    channel_data: List[Optional[ChannelData]] = []
-    for c in range(C):
-        channel_data.append(
-            ChannelData(
-                ans_contexts=[
-                    AnsContextTables(
-                        max_freq_bits=t.max_freq_bits,
-                        off_distribution_values=t.off_distribution_values,
-                        freqs=t.freqs,
-                        cdf=t.cdf,
-                    )
-                    for t in all_contexts[c]
-                ],
-                lane_states=states_np[c].astype(np.uint32),
-                lane_words=lane_streams[c],
-                value_prediction_parameters=vparams_np[c],
-                width_prediction_parameters=wparams_np[c],
+    packed = np.asarray(prog.encode_exec(pixels, qdiv))  # ONE fetch
+    out: List[CompressedImage] = []
+    for b in range(B):
+        channel_data = _unpack_channels(packed[b], prog)
+        out.append(
+            CompressedImage(
+                metadata=meta,
+                channel_data=list(channel_data) + [None] * (3 - C),
+                quality=opts.quality.value,
+                num_lanes=nl,
+                quantization_matrix=np.asarray(qm, dtype=np.uint16),
             )
         )
+    return out
 
-    return CompressedImage(
-        metadata=meta,
-        channel_data=channel_data + [None] * (3 - C),
-        quality=opts.quality.value,
-        num_lanes=nl,
-        quantization_matrix=np.asarray(qm, dtype=np.uint16),
-    )
+
+def encode_pipeline_jax(image: RasterImage, opts: EncoderOptions) -> CompressedImage:
+    return encode_pipeline_jax_batch([image], opts)[0]
+
+
+def decode_pipeline_jax_batch(images: List[CompressedImage]) -> List[RasterImage]:
+    """Decode a batch of SAME-SHAPE compressed images in one dispatch."""
+    meta = images[0].metadata
+    C = meta.num_channels
+    B = len(images)
+    nl = images[0].num_lanes
+    for im in images:
+        if im.metadata != meta or im.num_lanes != nl:
+            raise ValueError("batch must share shape, colorspace and lanes")
+    prog = get_program(meta.height, meta.width, BASE_FRAC_DEPTH, nl, C)
+
+    maxw = 1
+    for im in images:
+        for c in range(C):
+            for wds in im.channel_data[c].lane_words:
+                maxw = max(maxw, int(wds.shape[0]))
+    Wpad = _next_pow2(max(64, maxw))
+
+    freqs = np.zeros((B, C, CONTEXT_AMOUNT, ALPHABET_SIZE), dtype=np.uint32)
+    cdfs = np.zeros_like(freqs)
+    bits = np.zeros((B, C, CONTEXT_AMOUNT), dtype=np.int32)
+    luts = np.zeros((B, C, CONTEXT_AMOUNT, 1 << LUT_BITS), dtype=np.int16)
+    states = np.zeros((B, C, nl), dtype=np.uint32)
+    words = np.zeros((B, C, nl, Wpad), dtype=np.uint16)
+    vparams = np.zeros((B, C, 3, 6), dtype=np.float32)
+    wparams = np.zeros((B, C, 3, 6), dtype=np.float32)
+
+    for b, im in enumerate(images):
+        for c in range(C):
+            cd = im.channel_data[c]
+            for k, t in enumerate(cd.ans_contexts):
+                freqs[b, c, k] = t.freqs
+                cdfs[b, c, k] = t.cdf
+                bits[b, c, k] = t.max_freq_bits
+            luts[b, c] = build_decode_lut(cdfs[b, c], bits[b, c])
+            states[b, c] = np.asarray(cd.lane_states, dtype=np.uint32)
+            for l, wds in enumerate(cd.lane_words):
+                words[b, c, l, : wds.shape[0]] = wds
+            vparams[b, c] = np.asarray(
+                cd.value_prediction_parameters, dtype=np.float32
+            )
+            wparams[b, c] = np.asarray(
+                cd.width_prediction_parameters, dtype=np.float32
+            )
+
+    qm = np.asarray(images[0].quantization_matrix, dtype=np.int32)
+    qdiv = jnp.asarray(_qdiv_array(qm, BASE_FRAC_DEPTH))
+
+    pixels = np.asarray(
+        prog.decode_exec(
+            jnp.asarray(states),
+            jnp.asarray(words),
+            jnp.asarray(luts),
+            jnp.asarray(freqs),
+            jnp.asarray(cdfs),
+            jnp.asarray(bits),
+            jnp.asarray(vparams),
+            jnp.asarray(wparams),
+            qdiv,
+        )
+    )  # ONE fetch [B, C, HW]
+    return [
+        RasterImage(
+            metadata=im.metadata,
+            data=pixels[b].T.reshape(meta.height, meta.width, C),
+        )
+        for b, im in enumerate(images)
+    ]
 
 
 def decode_pipeline_jax(image: CompressedImage) -> RasterImage:
-    from ..fractal.geometry import BASE_FRAC_DEPTH
-
-    meta = image.metadata
-    C = meta.num_channels
-    nl = image.num_lanes
-    prog = get_program(meta.height, meta.width, BASE_FRAC_DEPTH, nl, C)
-
-    freqs = np.zeros((C, CONTEXT_AMOUNT, ALPHABET_SIZE), dtype=np.uint32)
-    cdfs = np.zeros_like(freqs)
-    bits = np.zeros((C, CONTEXT_AMOUNT), dtype=np.int32)
-    luts = np.zeros((C, CONTEXT_AMOUNT, 1 << LUT_BITS), dtype=np.int16)
-    states = np.zeros((C, nl), dtype=np.uint32)
-    vparams = np.zeros((C, 3, 6), dtype=np.float32)
-    wparams = np.zeros((C, 3, 6), dtype=np.float32)
-
-    maxw = 1
-    for c in range(C):
-        cd = image.channel_data[c]
-        for w in cd.lane_words:
-            maxw = max(maxw, int(w.shape[0]))
-    Wpad = _next_pow2(max(64, maxw))
-
-    words = np.zeros((C, nl, Wpad), dtype=np.uint16)
-    for c in range(C):
-        cd = image.channel_data[c]
-        for b, t in enumerate(cd.ans_contexts):
-            freqs[c, b] = t.freqs
-            cdfs[c, b] = t.cdf
-            bits[c, b] = t.max_freq_bits
-        luts[c] = build_decode_lut(cdfs[c], bits[c])
-        states[c] = np.asarray(cd.lane_states, dtype=np.uint32)
-        for l, w in enumerate(cd.lane_words):
-            words[c, l, : w.shape[0]] = w
-        vparams[c] = np.asarray(cd.value_prediction_parameters, dtype=np.float32)
-        wparams[c] = np.asarray(cd.width_prediction_parameters, dtype=np.float32)
-
-    qm = np.asarray(image.quantization_matrix, dtype=np.int32)
-    N = 1 << BASE_FRAC_DEPTH
-    qdiv = jnp.asarray(
-        qm[np.floor(np.log2(np.arange(N) + 1)).astype(np.int32)].astype(np.int32)
-    )
-
-    pixels = prog.decode_scan(
-        jnp.asarray(states),
-        jnp.asarray(words),
-        jnp.asarray(luts),
-        jnp.asarray(freqs),
-        jnp.asarray(cdfs),
-        jnp.asarray(bits),
-        jnp.asarray(vparams),
-        jnp.asarray(wparams),
-        qdiv,
-    )
-    data = np.asarray(pixels).T.reshape(meta.height, meta.width, C)
-    return RasterImage(metadata=meta, data=data)
+    return decode_pipeline_jax_batch([image])[0]

@@ -1,25 +1,30 @@
 """Context frequency tables: Laplace-parametric fill + integer renormalization.
 
-Replicates the reference's table pipeline (entropy_coding.rs:82-159) with
-exact integer semantics, because both the encoder and the decoder
-regenerate the tables from only (max_freq_bits, off_distribution_values)
-(serialize.rs:93-105, 230-236) and they must agree bit-for-bit.
+Capability-parity with the reference's table pipeline (entropy_coding.rs:
+82-159): both the encoder and the decoder regenerate the tables from only
+(max_freq_bits, off_distribution_values) (serialize.rs:93-105, 230-236)
+and must agree bit-for-bit. Everything here is branch-light vectorized
+integer math with an *identical device twin* (frave_tpu/entropy/
+tables_jax.py) so the encoder can finalize tables on-device inside the
+fused encode program — the pair is property-tested for exact equality.
 
 Determinism hardening vs the reference: the reference computes the Laplace
 pmf with f32 libm exp at runtime (prediction.rs:220-222); a 1-ulp libm
 difference between the encode and decode host would corrupt the tables.
 Here exp(-|x|/width) is computed as r^|x| by exponentiation-by-squaring in
 IEEE f64 from hardcoded hex-float constants — bit-identical on every
-platform. (Tables therefore differ slightly from the Rust build's, which
-only shifts the bitstream, never decoded pixels.)
+platform (and precomputed on host: TPUs have no f64).
 
 Documented divergences from the reference (SURVEY.md section 7 "bugs to
 consciously not replicate"):
   * empty-context max_freq_bits: reference computes trailing_zeros(0)=64
     and would panic on 1<<64 (entropy_coding.rs:113-114); we clamp to 8.
-  * freqs[1023] after normalize: reference computes cum[1023]-target in u32
-    which wraps when symbol 1023 has nonzero freq (entropy_coding.rs:157);
-    we compute target-cum[1023] correctly.
+  * normalization: the reference renormalizes with a sequential
+    zero-frequency stealing loop (entropy_coding.rs:119-159) whose final
+    symbol wraps in u32 (:157). We use largest-remainder normalization
+    with a deterministic largest-donor fixup — same guarantees (sum is
+    exactly 1 << bits, every data symbol keeps freq >= 1), but expressible
+    as fixed-shape vector ops on both host and TPU.
   * max_freq_bits is capped at 14 (vs unbounded in the 64-bit-rANS
     reference) so the 32-bit-state/16-bit-renorm vectorized lanes keep the
     at-most-one-renorm-per-symbol invariant (frave_tpu/ops/rans.py).
@@ -34,7 +39,9 @@ import numpy as np
 
 ALPHABET_SIZE = 1024  # zig-zag residual symbols (entropy_coding.rs:25)
 CONTEXT_AMOUNT = 10  # Laplace-width buckets (prediction.rs:15)
+MIN_FREQ_BITS = 8
 MAX_FREQ_BITS_CAP = 14
+NUM_BITS_CHOICES = MAX_FREQ_BITS_CAP - MIN_FREQ_BITS + 1  # 7
 
 # (exp(-1/width), 1/(2*width)) as IEEE-754 f64 hex literals for each
 # bucket's representative width [2.5, 4.5, 6.3, 8.5, 12.7, 16, 20, 24, 28,
@@ -71,47 +78,38 @@ def assign_bucket(width) -> np.ndarray:
     return np.searchsorted(edges, wu, side="right").astype(np.int32)
 
 
-def _pow_f64(r: float, e: int) -> float:
-    """r**e by square-and-multiply with a fixed operation order (IEEE f64
-    multiply is exactly rounded, so this is platform-deterministic)."""
-    acc = 1.0
-    base = r
-    while e > 0:
-        if e & 1:
-            acc = acc * base
-        base = base * base
-        e >>= 1
-    return acc
+def _laplace_rows_all() -> np.ndarray:
+    """[CONTEXT_AMOUNT, NUM_BITS_CHOICES, 1024] u32:
+    trunc(laplace(x_j; 0, width_b) * 2**bits) for every (bucket, bits).
 
-
-def _laplace_row(bucket: int, max_freq_bits: int) -> np.ndarray:
-    """trunc(laplace(x_j; 0, width_b) * 2**bits) for all 1024 zig-zag symbols.
-
-    Mirrors fill_with_laplace's value computation (entropy_coding.rs:85)
-    with the deterministic f64 scheme described in the module docstring.
+    r^|x| via vectorized square-and-multiply in f64 — the multiply order
+    (ascending bit index) matches a scalar exponentiation-by-squaring
+    loop, so results are IEEE-deterministic across platforms.
     """
-    r = float.fromhex(_LAPLACE_CONSTANTS[bucket][0])
-    s = float.fromhex(_LAPLACE_CONSTANTS[bucket][1])
-    scale = float(1 << max_freq_bits)
-    out = np.zeros(ALPHABET_SIZE, dtype=np.uint32)
-    # |unpack_signed(j)|: j even -> j/2 ; j odd -> (j+1)/2
-    for j in range(ALPHABET_SIZE):
-        ax = (j + 1) // 2
-        v = _pow_f64(r, ax) * s * scale
-        out[j] = np.uint32(int(v))  # trunc toward zero; v >= 0
+    j = np.arange(ALPHABET_SIZE, dtype=np.int64)
+    ax = (j + 1) // 2  # |unpack_signed(j)|
+    out = np.zeros((CONTEXT_AMOUNT, NUM_BITS_CHOICES, ALPHABET_SIZE), dtype=np.uint32)
+    for b in range(CONTEXT_AMOUNT):
+        r = float.fromhex(_LAPLACE_CONSTANTS[b][0])
+        s = float.fromhex(_LAPLACE_CONSTANTS[b][1])
+        acc = np.ones(ALPHABET_SIZE, dtype=np.float64)
+        base = r
+        e = ax.copy()
+        for _ in range(10):  # ax < 2**10
+            acc = np.where(e & 1 == 1, acc * base, acc)
+            base = base * base
+            e >>= 1
+        for bi in range(NUM_BITS_CHOICES):
+            scale = float(1 << (MIN_FREQ_BITS + bi))
+            out[b, bi] = (acc * s * scale).astype(np.uint32)  # trunc; v >= 0
     return out
 
 
-_laplace_cache = {}
+_LAPLACE_ROWS: np.ndarray = _laplace_rows_all()
 
 
 def laplace_freqs(bucket: int, max_freq_bits: int) -> np.ndarray:
-    key = (bucket, max_freq_bits)
-    row = _laplace_cache.get(key)
-    if row is None:
-        row = _laplace_row(bucket, max_freq_bits)
-        _laplace_cache[key] = row
-    return row.copy()
+    return _LAPLACE_ROWS[bucket, max_freq_bits - MIN_FREQ_BITS].copy()
 
 
 @dataclasses.dataclass
@@ -119,69 +117,61 @@ class ContextTables:
     """Finalized rANS tables for one bucket context."""
 
     max_freq_bits: int
-    off_distribution_values: np.ndarray  # [m] uint16, order preserved
+    off_distribution_values: np.ndarray  # [m] uint16, ascending
     freqs: np.ndarray  # [1024] uint32, sums to 1 << max_freq_bits
     cdf: np.ndarray  # [1024] uint32 exclusive prefix sums
 
 
 def _fill_with_laplace(
-    freqs: np.ndarray, bucket: int, max_freq_bits: int, off_list: Sequence[int]
-) -> Tuple[np.ndarray, List[int]]:
-    """entropy_coding.rs:82-96 with the deterministic pmf."""
-    lap = laplace_freqs(bucket, max_freq_bits)
-    out = np.zeros_like(lap)
-    off_in = set(int(x) for x in off_list)
-    off_out: List[int] = list(int(x) for x in off_list)
-    for j in range(ALPHABET_SIZE):
-        if lap[j] == 0 and freqs[j] == 0 and j in off_in:
-            out[j] = 1
-        elif freqs[j] != 0 and lap[j] == 0:
-            out[j] = 1
-            if j not in off_in:
-                off_out.append(j)
-        else:
-            out[j] = lap[j]
-    return out, off_out
+    hist: np.ndarray, bucket: int, bits: int, off_mask: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """entropy_coding.rs:82-96 vectorized. hist: [1024] data histogram
+    (zeros on the decode side); off_mask: [1024] bool wire off-list.
+    Returns (filled [1024] i64, off_mask_out [1024] bool)."""
+    lap = _LAPLACE_ROWS[bucket, bits - MIN_FREQ_BITS].astype(np.int64)
+    data = hist.astype(np.int64) > 0
+    forced = (lap == 0) & (data | off_mask)
+    filled = np.where(forced, 1, lap)
+    off_out = off_mask | ((lap == 0) & data)
+    return filled, off_out
 
 
-def _normalize_freqs(freqs: np.ndarray, target_total: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Exact integer renormalization with zero-frequency stealing.
-
-    Replicates normalize_freqs (entropy_coding.rs:119-159) including the
-    scan direction of the stealing loop, except the final symbol's
-    frequency is computed without u32 wraparound (see module docstring).
-    Returns (freqs, cdf).
-    """
-    freqs = freqs.astype(np.uint64)
-    cum = np.zeros(ALPHABET_SIZE, dtype=np.uint64)
-    np.cumsum(freqs[:-1], out=cum[1:])
-    cur_total = int(cum[-1] + freqs[-1])
-    if cur_total == 0:
+def _normalize_freqs(filled: np.ndarray, target_total: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Largest-remainder normalization with deterministic largest-donor
+    fixup. Guarantees: sum(freqs) == target_total exactly; freqs[j] >= 1
+    wherever filled[j] > 0 (requires target_total >= nnz(filled)).
+    Returns (freqs u32, exclusive-cdf u32)."""
+    f = filled.astype(np.int64)
+    total = int(f.sum())
+    if total == 0:
         raise ValueError("cannot normalize an all-zero frequency table")
-    cum = (int(target_total) * cum) // cur_total  # u64 exact
-    cum[0] = 0
+    target = int(target_total)
+    scaled = (f * target) // total
+    s = np.where(f > 0, np.maximum(scaled, 1), 0)
+    diff = target - int(s.sum())
+    if diff > 0:
+        j = int(np.argmax(s))
+        s[j] += diff
+    else:
+        while diff < 0:
+            j = int(np.argmax(s))
+            take = min(-diff, int(s[j]) - 1)
+            if take <= 0:
+                raise ValueError("target_total too small for symbol count")
+            s[j] -= take
+            diff += take
+    freqs = s.astype(np.uint32)
+    cdf = np.zeros(ALPHABET_SIZE, dtype=np.uint32)
+    np.cumsum(freqs[:-1], out=cdf[1:].view(np.uint32))
+    return freqs, cdf
 
-    # Fix symbols squeezed to zero by stealing from the smallest donor > 1.
-    for i in range(ALPHABET_SIZE - 1):
-        if freqs[i] != 0 and cum[i + 1] == cum[i]:
-            best_freq = None
-            best_steal = None
-            for j in range(ALPHABET_SIZE - 1):
-                f = int(cum[j + 1] - cum[j])
-                if f > 1 and (best_freq is None or f < best_freq):
-                    best_freq = f
-                    best_steal = j
-            if best_steal is None:
-                continue
-            if best_steal < i:
-                cum[best_steal + 1 : i + 1] -= 1
-            else:
-                cum[i + 1 : best_steal + 1] += 1
 
-    out = np.zeros(ALPHABET_SIZE, dtype=np.uint32)
-    out[:-1] = (cum[1:] - cum[:-1]).astype(np.uint32)
-    out[-1] = np.uint32(int(target_total) - int(cum[-1]))
-    return out, cum.astype(np.uint32)
+def _mask_from_off_list(off_list: Sequence[int]) -> np.ndarray:
+    m = np.zeros(ALPHABET_SIZE, dtype=bool)
+    idx = np.asarray(list(off_list), dtype=np.int64)
+    if idx.size:
+        m[idx] = True
+    return m
 
 
 def finalize_context(
@@ -194,17 +184,16 @@ def finalize_context(
     fill, renormalize to 1 << bits. `hist` is the raw residual histogram on
     the encode side and all-zeros on the decode side.
 
-    Divergence: if the filled table has more nonzero symbols than 1 << bits
-    (possible for wide residual spreads — e.g. noise images — where the
-    off-distribution list alone exceeds the target total), bits is bumped
-    until every data symbol can keep a nonzero normalized frequency. The
-    reference would produce zero-frequency encode symbols here and panic
-    inside the rans crate. The bumped value is what travels on the wire, so
-    the decode side regenerates identically.
-    """
-    bits = max(8, min(int(max_freq_bits), MAX_FREQ_BITS_CAP))
+    If the filled table has more nonzero symbols than 1 << bits (wide
+    residual spreads, e.g. noise images), bits is bumped until every data
+    symbol can keep a nonzero normalized frequency (the reference would
+    produce zero-frequency encode symbols and panic inside the rans
+    crate). The bumped value travels on the wire, so decode regenerates
+    identically."""
+    bits = max(MIN_FREQ_BITS, min(int(max_freq_bits), MAX_FREQ_BITS_CAP))
+    off_mask = _mask_from_off_list(off_list)
     while True:
-        filled, off_out = _fill_with_laplace(hist, bucket, bits, off_list)
+        filled, off_out = _fill_with_laplace(hist, bucket, bits, off_mask)
         nnz = int(np.count_nonzero(filled))
         if (1 << bits) >= nnz or bits >= MAX_FREQ_BITS_CAP:
             break
@@ -212,7 +201,7 @@ def finalize_context(
     freqs, cdf = _normalize_freqs(filled, 1 << bits)
     return ContextTables(
         max_freq_bits=bits,
-        off_distribution_values=np.asarray(off_out, dtype=np.uint16),
+        off_distribution_values=np.nonzero(off_out)[0].astype(np.uint16),
         freqs=freqs,
         cdf=cdf,
     )
@@ -220,9 +209,9 @@ def finalize_context(
 
 def context_from_histogram(hist: np.ndarray, bucket: int) -> ContextTables:
     """Encoder-side: bits from the histogram total (prediction.rs:302-305),
-    clamped to [8, MAX_FREQ_BITS_CAP]."""
+    clamped to [MIN_FREQ_BITS, MAX_FREQ_BITS_CAP]."""
     total = int(hist.sum())
-    bits = int(total).bit_length() - 1 if total > 0 else 8
+    bits = int(total).bit_length() - 1 if total > 0 else MIN_FREQ_BITS
     return finalize_context(hist, bucket, bits)
 
 

@@ -1,0 +1,108 @@
+"""Device twin of the context-table pipeline (frave_tpu/entropy/tables.py).
+
+Runs inside the fused encode program so the entire encode is ONE device
+dispatch (the environment charges ~50ms latency per device->host fetch —
+shipping the histogram to the host for table building would double the
+per-image cost). Property-tested for exact integer equality against the
+host implementation: the decoder regenerates tables on host from the wire
+fields (bits, off-list) and rANS breaks on any 1-bit difference.
+
+The Laplace pmf rows need f64 (unavailable on TPU), so they are
+precomputed on host for every (bucket, bits) pair and passed in as a
+[10, 7, 1024] u32 tensor.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .tables import (
+    ALPHABET_SIZE,
+    CONTEXT_AMOUNT,
+    MAX_FREQ_BITS_CAP,
+    MIN_FREQ_BITS,
+    NUM_BITS_CHOICES,
+)
+
+
+def finalize_contexts_device(hist: jnp.ndarray, lap_rows: jnp.ndarray):
+    """hist: [..., 10, 1024] int32 data histograms;
+    lap_rows: [10, 7, 1024] u32 Laplace tables per (bucket, bits).
+
+    Returns (bits [..., 10] i32, freqs [..., 10, 1024] i32,
+    cdf [..., 10, 1024] i32, off_mask [..., 10, 1024] bool) — exactly
+    context_from_histogram per bucket."""
+    h = hist.astype(jnp.int32)
+    data = h > 0  # [..., 10, 1024]
+    total = jnp.sum(h, axis=-1)  # [..., 10]
+
+    # bits0 = clamp(bit_length(total) - 1, 8, 14)
+    bits0 = jnp.full(total.shape, MIN_FREQ_BITS, jnp.int32)
+    for k in range(MIN_FREQ_BITS + 1, MAX_FREQ_BITS_CAP + 1):
+        bits0 = bits0 + (total >= (1 << k)).astype(jnp.int32)
+
+    lap = lap_rows.astype(jnp.int32)  # [10, 7, 1024]
+    # [7, 1...1, 10, 1024] so the bits axis broadcasts against data's
+    # arbitrary leading dims
+    lap_b = jnp.moveaxis(lap, 1, 0).reshape(
+        (NUM_BITS_CHOICES,) + (1,) * (data.ndim - 2) + (CONTEXT_AMOUNT, ALPHABET_SIZE)
+    )
+    # filled/nnz for each candidate bits value
+    filled_all = jnp.where(
+        lap_b > 0, lap_b, jnp.where(data[None], 1, 0)
+    )  # [7, ..., 10, 1024]
+    nnz_all = jnp.sum((filled_all > 0).astype(jnp.int32), axis=-1)  # [7, ..., 10]
+
+    # sequential bump: b = bits0; while not ok(b) and b < 14: b += 1
+    bits = bits0
+    for k in range(MIN_FREQ_BITS, MAX_FREQ_BITS_CAP):
+        ok_k = (1 << k) >= nnz_all[k - MIN_FREQ_BITS]
+        bits = jnp.where((bits == k) & (~ok_k), k + 1, bits)
+
+    sel = (bits - MIN_FREQ_BITS).astype(jnp.int32)  # [..., 10]
+    # gather filled at the selected bits: move the 7-axis last and
+    # take_along_axis
+    fa = jnp.moveaxis(filled_all, 0, -2)  # [..., 10, 7, 1024]
+    filled = jnp.take_along_axis(fa, sel[..., None, None], axis=-2)[..., 0, :]
+    lap_sel = jnp.take_along_axis(
+        jnp.broadcast_to(jnp.moveaxis(lap, 1, -2), fa.shape),
+        sel[..., None, None],
+        axis=-2,
+    )[..., 0, :]
+    off_mask = data & (lap_sel == 0)
+
+    # --- largest-remainder normalization (tables._normalize_freqs twin)
+    target = (jnp.int32(1) << bits).astype(jnp.int32)  # [..., 10]
+    total2 = jnp.sum(filled, axis=-1)  # > 0 always (laplace rows nonzero)
+    scaled = (filled * target[..., None]) // total2[..., None]
+    s = jnp.where(filled > 0, jnp.maximum(scaled, 1), 0)
+    diff = target - jnp.sum(s, axis=-1)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, s.shape, s.ndim - 1)
+
+    # diff > 0: add everything to the (first) largest entry
+    jmax = jnp.argmax(s, axis=-1).astype(jnp.int32)
+    add = jnp.maximum(diff, 0)
+    s = s + jnp.where(iota == jmax[..., None], add[..., None], 0)
+    diff = jnp.minimum(diff, 0)
+
+    # diff < 0: repeatedly drain the (first) largest entry down to 1
+    def cond(state):
+        s, diff = state
+        return jnp.any(diff < 0)
+
+    def body(state):
+        s, diff = state
+        j = jnp.argmax(s, axis=-1).astype(jnp.int32)
+        sj = jnp.max(s, axis=-1)
+        take = jnp.clip(jnp.minimum(-diff, sj - 1), 0, None)
+        s = s - jnp.where(iota == j[..., None], take[..., None], 0)
+        return s, diff + take
+
+    s, _ = jax.lax.while_loop(cond, body, (s, diff))
+
+    cdf = jnp.concatenate(
+        [jnp.zeros_like(s[..., :1]), jnp.cumsum(s[..., :-1], axis=-1)], axis=-1
+    )
+    return bits, s.astype(jnp.int32), cdf.astype(jnp.int32), off_mask

@@ -53,7 +53,23 @@ from ..fractal.schedule import default_num_lanes, get_schedule
 from ..ops import jax_ops as J
 from ..ops.rans_jax import encode_scan
 from ..codec.options import EncoderOptions, quantization_matrix
-from ..codec.pipeline_jax import _gram_solve, _compact_words
+from ..codec.pipeline_jax import _gram_solve
+
+
+def _compact_words(words: np.ndarray, flags: np.ndarray):
+    """[R, C, NL] u16 + bool -> per-channel list of per-lane streams in
+    decode order (increasing r of flagged rows). Host-side fallback for
+    the sharded path (the single-chip program compacts on device)."""
+    R, C, NL = flags.shape
+    out = []
+    for c in range(C):
+        lanes = []
+        f = flags[:, c, :]
+        w = words[:, c, :]
+        for l in range(NL):
+            lanes.append(w[f[:, l], l].astype(np.uint16))
+        out.append(lanes)
+    return out
 
 
 def _pad_to(x: np.ndarray, size: int, fill, axis: int = 0) -> np.ndarray:

@@ -101,3 +101,39 @@ def test_jax_deterministic_bitstream():
     d1 = FRIEncoder(EncoderOptions(backend="jax")).encode(img)
     d2 = FRIEncoder(EncoderOptions(backend="jax")).encode(img)
     assert d1 == d2
+
+
+def test_batched_encode_decode():
+    """Batched same-shape encode/decode: one dispatch + one fetch per batch."""
+    from frave_tpu.codec.pipeline_jax import (
+        decode_pipeline_jax_batch,
+        encode_pipeline_jax_batch,
+    )
+    from frave_tpu.codec.container import deserialize, serialize
+
+    imgs = [_natural_image(48, 48, 1, seed=s) for s in range(5)]
+    comp = encode_pipeline_jax_batch(imgs, EncoderOptions(backend="jax"))
+    blobs = [serialize(c) for c in comp]
+    outs = decode_pipeline_jax_batch([deserialize(b) for b in blobs])
+    for im, out in zip(imgs, outs):
+        np.testing.assert_array_equal(out.data, im.data)
+
+
+def test_batched_matches_single_pixels():
+    """Bitstream bytes may differ across batch sizes (XLA picks different
+    f32 reduction orders for the predictor fit per program), but every
+    stream must decode losslessly on any backend — decoded pixels are the
+    contract (BASELINE.md)."""
+    from frave_tpu.codec.pipeline_jax import encode_pipeline_jax_batch
+    from frave_tpu.codec.container import serialize
+
+    imgs = [_natural_image(40, 32, 1, seed=s) for s in range(3)]
+    batched = [
+        serialize(c)
+        for c in encode_pipeline_jax_batch(imgs, EncoderOptions(backend="jax"))
+    ]
+    single = [FRIEncoder(EncoderOptions(backend="jax")).encode(im) for im in imgs]
+    dec = FRIDecoder(backend="numpy")
+    for bb, sb, im in zip(batched, single, imgs):
+        np.testing.assert_array_equal(dec.decode(bb).data, im.data)
+        np.testing.assert_array_equal(dec.decode(sb).data, im.data)
