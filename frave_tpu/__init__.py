@@ -25,6 +25,7 @@ decoder.rs:48-59).
 
 __version__ = "0.1.0"
 
+from . import _malloc_tuning  # noqa: F401  (see module docstring)
 from .images import (
     ColorSpace,
     FractalVariant,

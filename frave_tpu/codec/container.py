@@ -33,7 +33,8 @@ from ..images import (
 from ..entropy.tables import CONTEXT_AMOUNT, context_from_wire
 
 MAGIC = b"frif"
-VERSION = 2
+VERSION = 3
+_MODES = ("parallel", "parity")  # wire encodings 0, 1
 MARKER_PRD = 0xFFBB
 MARKER_EHD = 0xFFB2
 MARKER_DAT = 0xFFB4
@@ -54,6 +55,7 @@ def serialize(image: CompressedImage) -> bytes:
     mdat = (meta.colorspace.encoding() << 4) | meta.variant.encoding()
     out += struct.pack("<B", mdat)
     out += struct.pack("<B", image.quality)
+    out += struct.pack("<B", _MODES.index(image.mode))
     out += struct.pack("<H", image.num_lanes)
     qm = np.asarray(image.quantization_matrix, dtype=np.uint16)
     assert qm.shape == (32,)
@@ -127,6 +129,10 @@ def deserialize(data: bytes) -> CompressedImage:
     colorspace = ColorSpace.from_encoding(mdat >> 4)
     variant = FractalVariant.from_encoding(mdat & 0xF)
     quality = r.u8()
+    mode_enc = r.u8()
+    if mode_enc >= len(_MODES):
+        raise SerializeError(f"invalid context-model mode {mode_enc}")
+    mode = _MODES[mode_enc]
     nl = r.u16()
     qm = np.frombuffer(r.take(64), dtype="<u2").astype(np.int32)
     meta = ImageMetadata(height=height, width=width, colorspace=colorspace, variant=variant)
@@ -182,4 +188,5 @@ def deserialize(data: bytes) -> CompressedImage:
         quality=quality,
         num_lanes=nl,
         quantization_matrix=qm,
+        mode=mode,
     )

@@ -54,3 +54,11 @@ class EncoderOptions:
     verbose: bool = False
     num_lanes: Optional[int] = None  # None -> heuristic from symbol count
     backend: str = "auto"  # "jax" | "numpy" | "auto"
+    # Context-model mode (frave_tpu/fractal/schedule.py):
+    #   "parallel" (default) — all 6 neighbour taps at parent resolution;
+    #       each level decodes as one wave (TPU-first).
+    #   "parity"   — the reference's causal same-level taps
+    #       (context_modeling.rs:25-77); decode follows the dependency
+    #       wavefront. Better compression on some content, ~10-20x more
+    #       decode steps.
+    mode: str = "parallel"

@@ -110,6 +110,7 @@ class CodecProgram:
     num_steps: int
     rows: int  # R = ceil(K / NL)
     n_slots: int
+    mode: str = "parallel"
 
     def __post_init__(self):
         h, w, depth, nl, C = (
@@ -120,8 +121,8 @@ class CodecProgram:
             self.channels,
         )
         geo = get_geometry(h, w, depth)
-        sched = get_schedule(h, w, depth)
-        steps = get_lane_steps(h, w, nl, depth)
+        sched = get_schedule(h, w, depth, mode=self.mode)
+        steps = get_lane_steps(h, w, nl, depth, mode=self.mode)
 
         T, N = geo.num_tiles, geo.nodes_per_tile
         n_slots = T * N
@@ -386,18 +387,20 @@ class CodecProgram:
         return fn(states, words, lut, freqs, cdfs, bits, vp, wp, qdiv, *self._dec_args)
 
 
-_program_cache: Dict[Tuple[int, int, int, int, int], CodecProgram] = {}
+_program_cache: Dict[Tuple[int, int, int, int, int, str], CodecProgram] = {}
 _cache_lock = threading.Lock()
 
 
-def get_program(height: int, width: int, depth: int, nl: int, channels: int) -> CodecProgram:
-    key = (height, width, depth, nl, channels)
+def get_program(
+    height: int, width: int, depth: int, nl: int, channels: int, mode: str = "parallel"
+) -> CodecProgram:
+    key = (height, width, depth, nl, channels, mode)
     with _cache_lock:
         p = _program_cache.get(key)
     if p is None:
         geo = get_geometry(height, width, depth)
-        sched = get_schedule(height, width, depth)
-        steps = get_lane_steps(height, width, nl, depth)
+        sched = get_schedule(height, width, depth, mode=mode)
+        steps = get_lane_steps(height, width, nl, depth, mode=mode)
         K = sched.num_symbols
         p = CodecProgram(
             height=height,
@@ -410,6 +413,7 @@ def get_program(height: int, width: int, depth: int, nl: int, channels: int) -> 
             num_steps=steps.num_steps,
             rows=-(-K // nl),
             n_slots=geo.num_coef_slots,
+            mode=mode,
         )
         with _cache_lock:
             _program_cache[key] = p
@@ -484,9 +488,9 @@ def encode_pipeline_jax_batch(
     for im in images:
         if im.metadata != meta:
             raise ValueError("batch images must share shape and colorspace")
-    sched = get_schedule(meta.height, meta.width)
+    sched = get_schedule(meta.height, meta.width, mode=opts.mode)
     nl = opts.num_lanes or default_num_lanes(sched.num_symbols)
-    prog = get_program(meta.height, meta.width, BASE_FRAC_DEPTH, nl, C)
+    prog = get_program(meta.height, meta.width, BASE_FRAC_DEPTH, nl, C, opts.mode)
 
     qm = quantization_matrix(opts.quality)
     qdiv = jnp.asarray(_qdiv_array(qm, BASE_FRAC_DEPTH))
@@ -507,6 +511,7 @@ def encode_pipeline_jax_batch(
                 quality=opts.quality.value,
                 num_lanes=nl,
                 quantization_matrix=np.asarray(qm, dtype=np.uint16),
+                mode=opts.mode,
             )
         )
     return out
@@ -522,10 +527,11 @@ def decode_pipeline_jax_batch(images: List[CompressedImage]) -> List[RasterImage
     C = meta.num_channels
     B = len(images)
     nl = images[0].num_lanes
+    mode = images[0].mode
     for im in images:
-        if im.metadata != meta or im.num_lanes != nl:
-            raise ValueError("batch must share shape, colorspace and lanes")
-    prog = get_program(meta.height, meta.width, BASE_FRAC_DEPTH, nl, C)
+        if im.metadata != meta or im.num_lanes != nl or im.mode != mode:
+            raise ValueError("batch must share shape, colorspace, lanes and mode")
+    prog = get_program(meta.height, meta.width, BASE_FRAC_DEPTH, nl, C, mode)
 
     maxw = 1
     for im in images:

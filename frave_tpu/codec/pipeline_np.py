@@ -47,7 +47,7 @@ from .options import EncoderOptions, quantization_matrix
 def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedImage:
     meta = image.metadata
     geo = get_geometry(meta.height, meta.width)
-    sched = get_schedule(meta.height, meta.width)
+    sched = get_schedule(meta.height, meta.width, mode=opts.mode)
     C = meta.num_channels
 
     pixels = image.data.reshape(-1, C).T.astype(np.int64)  # [C, H*W]
@@ -121,13 +121,14 @@ def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedIm
         quality=opts.quality.value,
         num_lanes=nl,
         quantization_matrix=np.asarray(qm, dtype=np.uint16),
+        mode=opts.mode,
     )
 
 
 def decode_pipeline_np(image: CompressedImage) -> RasterImage:
     meta = image.metadata
     geo = get_geometry(meta.height, meta.width)
-    steps = get_lane_steps(meta.height, meta.width, image.num_lanes)
+    steps = get_lane_steps(meta.height, meta.width, image.num_lanes, mode=image.mode)
     C = meta.num_channels
     n_slots = geo.num_coef_slots
 

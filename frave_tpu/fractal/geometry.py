@@ -197,13 +197,19 @@ class FractalGeometry:
     pixel_gather: np.ndarray  # [T, 2**depth] int32 flat pixel index or -1 (leaf j)
     coef_mask: np.ndarray  # [T, 2**depth] bool: coefficient present (Some)
     nbr_idx: np.ndarray  # [T * 2**depth, 6] int32 neighbour value indices, -1 absent
+    # Level-parallel variant: all six directional neighbours read at the
+    # PARENT haar slot (fully decoded when a level starts), so a whole
+    # level is one decode wave — the TPU-first context model ("parallel"
+    # mode; the reference's causal same-level taps are kept as "parity"
+    # mode via nbr_idx).
+    nbr_par: np.ndarray  # [T * 2**depth, 6] int32, -1 absent
     level_of_haar: np.ndarray  # [2**depth] int32: 0 for haar 0/1, else floor(log2(haar))
     # Per-level canonical position lists as flat coef indices:
     level_slots: List[np.ndarray]  # level L in [0, depth): [n_L] int32
-    # Same-level causal neighbour slot references used for wavefront layering:
-    # for HF levels these are nbr_idx[:, 0:3]; for level 0 the DC/root phases
-    # share tile-level neighbours:
-    tile_nbr: np.ndarray  # [T, 3] int32 tile index of (left, up_left, up_right) or -1
+    # Tile-lattice neighbours for the two level-0 phases, all 6 directions
+    # (left, up_left, up_right, right, down_left, down_right); the causal
+    # trio is columns 0:3:
+    tile_nbr: np.ndarray  # [T, 6] int32 tile index or -1
 
     @property
     def nodes_per_tile(self) -> int:
@@ -290,10 +296,19 @@ def build_geometry(height: int, width: int, depth: int = BASE_FRAC_DEPTH) -> Fra
     # Tile-level neighbours for the two level-0 phases: value = neighbour
     # tile's coefficient[phase] found via get_containing_fractal over the
     # 6-neighbour ring (prediction.rs:86-132 with position_map[0] only
-    # containing each tile's own center).
-    tile_nbr = np.full((T, 3), -1, dtype=np.int64)
+    # containing each tile's own center). All 6 directions; the causal
+    # trio used by parity mode is columns 0:3.
+    tile_nbr = np.full((T, 6), -1, dtype=np.int64)
+    all_getters = (
+        get_left,
+        get_up_left,
+        get_up_right,
+        get_right,
+        get_down_left,
+        get_down_right,
+    )
     for t, c in enumerate(centers_list):
-        for k, getter in enumerate((get_left, get_up_left, get_up_right)):
+        for k, getter in enumerate(all_getters):
             p = getter(c, depth, maps)
             u = tile_index.get(p, -1)
             tile_nbr[t, k] = u
@@ -304,6 +319,7 @@ def build_geometry(height: int, width: int, depth: int = BASE_FRAC_DEPTH) -> Fra
     # *parent* coefficient slots (context_modeling.rs:25-77: above-level
     # values are read at haar_pos/2 so decode stays causal).
     nbr_idx = np.full((T * n, 6), -1, dtype=np.int64)
+    nbr_par = np.full((T * n, 6), -1, dtype=np.int64)
     level_slots: List[np.ndarray] = []
 
     # Level 0: canonical tile order; flat slot = t*n + 0 (DC phase uses +0,
@@ -334,12 +350,14 @@ def build_geometry(height: int, width: int, depth: int = BASE_FRAC_DEPTH) -> Fra
                 if hit is not None:
                     u, q2 = hit
                     nbr_idx[flat, k] = u * n + q2
+                    nbr_par[flat, k] = u * n + q2 // 2
             for k, getter in enumerate(above_getters):
                 p2 = getter(X, scale, maps)
                 hit = m.get(p2)
                 if hit is not None:
                     u, q2 = hit
                     nbr_idx[flat, 3 + k] = u * n + q2 // 2
+                    nbr_par[flat, 3 + k] = u * n + q2 // 2
 
     level_of_haar = np.zeros(n, dtype=np.int64)
     level_of_haar[1:] = np.floor(np.log2(np.arange(1, n))).astype(np.int64)
@@ -355,6 +373,7 @@ def build_geometry(height: int, width: int, depth: int = BASE_FRAC_DEPTH) -> Fra
         pixel_gather=pixel_gather.astype(np.int32),
         coef_mask=mask,
         nbr_idx=nbr_idx.astype(np.int32),
+        nbr_par=nbr_par.astype(np.int32),
         level_of_haar=level_of_haar.astype(np.int32),
         level_slots=[s.astype(np.int32) for s in level_slots],
         tile_nbr=tile_nbr.astype(np.int32),
@@ -367,12 +386,18 @@ _cache_lock = threading.Lock()
 
 def get_geometry(height: int, width: int, depth: int = BASE_FRAC_DEPTH) -> FractalGeometry:
     """Cached geometry per (h, w, depth) — the init()-analog of the codec
-    (SURVEY.md section 3.5): everything downstream is a pure function of it."""
+    (SURVEY.md section 3.5): everything downstream is a pure function of it.
+
+    Uses the vectorized builder (frave_tpu/fractal/geometry_fast.py);
+    `build_geometry` above is the loop-based definition it is
+    differentially tested against."""
     key = (height, width, depth)
     with _cache_lock:
         geo = _geometry_cache.get(key)
     if geo is None:
-        geo = build_geometry(height, width, depth)
+        from .geometry_fast import build_geometry_fast
+
+        geo = build_geometry_fast(height, width, depth)
         with _cache_lock:
             _geometry_cache[key] = geo
     return geo

@@ -86,7 +86,20 @@ class WavefrontSchedule:
         return (np.arange(self.num_symbols, dtype=np.int64) % nl).astype(np.int32)
 
 
-def build_schedule(geo: FractalGeometry) -> WavefrontSchedule:
+def build_schedule(geo: FractalGeometry, mode: str = "parallel") -> WavefrontSchedule:
+    """mode="parity": the reference's context model — 3 same-level causal
+    neighbour taps {left, up-left, up-right} + 3 parent-resolution taps
+    (context_modeling.rs:25-77); decode waves follow the in-level
+    dependency DAG (diagonal wavefronts, mean width ~sqrt(level size)).
+
+    mode="parallel" (default, the TPU-first redesign): ALL six directional
+    taps read at the parent haar slot, which is fully decoded before a
+    level starts — each level is ONE wave, so the decode scan has
+    ~levels + tile-wavefront steps instead of thousands. The DC phase
+    keeps the tile wavefront (tiles are few); the root-HF phase reads the
+    six neighbour tiles' already-decoded DC values (learned 6-tap
+    predictor, group 2).
+    """
     n = geo.nodes_per_tile
     depth = geo.depth
     T = geo.num_tiles
@@ -97,44 +110,68 @@ def build_schedule(geo: FractalGeometry) -> WavefrontSchedule:
     sched_group: List[np.ndarray] = []
     wave_sizes: List[int] = []
 
-    # --- Level-0 phases (DC then root-HF). Nodes = kept tiles; causal deps =
-    # {left, up_left, up_right} tile (prediction.rs:241-270). Both phases
-    # share the same wave structure.
-    tile_deps = geo.tile_nbr.astype(np.int64)
+    # --- Level-0 DC phase (both modes): nodes = kept tiles; causal deps =
+    # {left, up_left, up_right} tile (prediction.rs:241-270).
+    tile_deps = geo.tile_nbr[:, 0:3].astype(np.int64)
     tile_waves = _layer_waves(T, tile_deps)
     tile_order = np.lexsort((np.arange(T), tile_waves))  # stable by wave, then canonical
     t_sorted = np.arange(T, dtype=np.int64)[tile_order]
     w_sorted = tile_waves[tile_order]
-    _, counts = np.unique(w_sorted, return_counts=True)
+    _, tile_counts = np.unique(w_sorted, return_counts=True)
 
-    for phase_haar in (0, 1):
+    dc_phases = (0, 1) if mode == "parity" else (0,)
+    for phase_haar in dc_phases:
         coef = (t_sorted * n + phase_haar).astype(np.int64)
         nbr = np.full((T, 6), -1, dtype=np.int64)
-        valid = geo.tile_nbr[t_sorted] >= 0
+        valid = geo.tile_nbr[t_sorted, 0:3] >= 0
         nbr[:, 0:3] = np.where(
-            valid, geo.tile_nbr[t_sorted].astype(np.int64) * n + phase_haar, -1
+            valid,
+            geo.tile_nbr[t_sorted, 0:3].astype(np.int64) * n + phase_haar,
+            -1,
         )
         sched_coef.append(coef)
         sched_nbr.append(nbr)
         sched_lf.append(np.ones(T, dtype=bool))
         sched_group.append(np.zeros(T, dtype=np.int8))
-        wave_sizes.extend(counts.tolist())
+        wave_sizes.extend(tile_counts.tolist())
+
+    if mode == "parallel":
+        # root-HF phase: one wave; 6 taps = neighbour tiles' DC values.
+        coef = (np.arange(T, dtype=np.int64) * n + 1).astype(np.int64)
+        tn = geo.tile_nbr.astype(np.int64)
+        nbr = np.where(tn >= 0, tn * n, -1)
+        sched_coef.append(coef)
+        sched_nbr.append(nbr)
+        sched_lf.append(np.zeros(T, dtype=bool))
+        sched_group.append(np.full(T, 2, dtype=np.int8))
+        wave_sizes.append(T)
 
     # --- HF levels 1..depth-1, coarse to fine (entropy_coding.rs:309).
+    flat_mask = geo.coef_mask.reshape(-1)
     for L in range(1, depth):
         slots = geo.level_slots[L].astype(np.int64)  # canonical order
-        present = geo.coef_mask.reshape(-1)[slots]
+        present = flat_mask[slots]
         slots = slots[present]
         nL = slots.shape[0]
         if nL == 0:
             continue
+        group = 0 if L == depth - 1 else (1 if L == depth - 2 else 2)
+
+        if mode == "parallel":
+            nbr_o = geo.nbr_par[slots].astype(np.int64)
+            sched_coef.append(slots)
+            sched_nbr.append(nbr_o)
+            sched_lf.append(np.zeros(nL, dtype=bool))
+            sched_group.append(np.full(nL, group, dtype=np.int8))
+            wave_sizes.append(nL)
+            continue
+
         slot_to_node: Dict[int, int] = {int(s): i for i, s in enumerate(slots)}
         nbr = geo.nbr_idx[slots].astype(np.int64)  # [nL, 6]
         # Causal deps = same-level neighbours that are themselves symbols
         # (mask-true). Mask-false neighbours read as constant 0 on both
         # sides (unwrap_or(0)) and impose no ordering.
         deps = np.full((nL, 3), -1, dtype=np.int64)
-        flat_mask = geo.coef_mask.reshape(-1)
         for i in range(nL):
             for k in range(3):
                 s = nbr[i, k]
@@ -147,7 +184,6 @@ def build_schedule(geo: FractalGeometry) -> WavefrontSchedule:
         w_o = waves[order]
         _, counts = np.unique(w_o, return_counts=True)
 
-        group = 0 if L == depth - 1 else (1 if L == depth - 2 else 2)
         sched_coef.append(slots_o)
         sched_nbr.append(nbr_o)
         sched_lf.append(np.zeros(nL, dtype=bool))
@@ -232,28 +268,36 @@ def default_num_lanes(num_symbols: int) -> int:
     return 1 << (int(target).bit_length() - 1)
 
 
-_sched_cache: Dict[Tuple[int, int, int], WavefrontSchedule] = {}
-_lane_cache: Dict[Tuple[int, int, int, int], LaneSteps] = {}
+_sched_cache: Dict[Tuple[int, int, int, str], WavefrontSchedule] = {}
+_lane_cache: Dict[Tuple[int, int, int, int, str], LaneSteps] = {}
 _lock = threading.Lock()
 
 
-def get_schedule(height: int, width: int, depth: int = BASE_FRAC_DEPTH) -> WavefrontSchedule:
-    key = (height, width, depth)
+def get_schedule(
+    height: int, width: int, depth: int = BASE_FRAC_DEPTH, mode: str = "parallel"
+) -> WavefrontSchedule:
+    key = (height, width, depth, mode)
     with _lock:
         s = _sched_cache.get(key)
     if s is None:
-        s = build_schedule(get_geometry(height, width, depth))
+        s = build_schedule(get_geometry(height, width, depth), mode)
         with _lock:
             _sched_cache[key] = s
     return s
 
 
-def get_lane_steps(height: int, width: int, nl: int, depth: int = BASE_FRAC_DEPTH) -> LaneSteps:
-    key = (height, width, depth, nl)
+def get_lane_steps(
+    height: int,
+    width: int,
+    nl: int,
+    depth: int = BASE_FRAC_DEPTH,
+    mode: str = "parallel",
+) -> LaneSteps:
+    key = (height, width, depth, nl, mode)
     with _lock:
         s = _lane_cache.get(key)
     if s is None:
-        s = build_lane_steps(get_schedule(height, width, depth), nl)
+        s = build_lane_steps(get_schedule(height, width, depth, mode), nl)
         with _lock:
             _lane_cache[key] = s
     return s

@@ -146,3 +146,4 @@ class CompressedImage:
     quality: int = 0  # EncoderQuality wire value
     num_lanes: int = 0
     quantization_matrix: Optional[np.ndarray] = None  # [32] u16
+    mode: str = "parallel"  # context-model mode (see EncoderOptions.mode)

@@ -92,6 +92,7 @@ class ShardedEncoder:
     mesh: Mesh
     depth: int = BASE_FRAC_DEPTH
     num_lanes: Optional[int] = None
+    mode: str = "parallel"
 
     def __post_init__(self):
         h, w, depth, C = self.height, self.width, self.depth, self.channels
@@ -102,7 +103,7 @@ class ShardedEncoder:
             raise ValueError(f"batch {self.batch} not divisible by dp={dp}")
 
         geo = get_geometry(h, w, depth)
-        sched = get_schedule(h, w, depth)
+        sched = get_schedule(h, w, depth, mode=self.mode)
         T, N = geo.num_tiles, geo.nodes_per_tile
         K = sched.num_symbols
         HW = h * w
@@ -294,6 +295,10 @@ class ShardedEncoder:
         from ..codec.container import serialize
 
         opts = opts or EncoderOptions()
+        if opts.mode != self.mode:
+            raise ValueError(
+                f"encoder built for mode={self.mode!r}, opts request {opts.mode!r}"
+            )
         B, C = self.batch, self.channels
         assert batch.shape == (B, self.height, self.width, C)
         qm = quantization_matrix(opts.quality)
@@ -374,6 +379,7 @@ class ShardedEncoder:
                         quality=opts.quality.value,
                         num_lanes=nl,
                         quantization_matrix=np.asarray(qm, dtype=np.uint16),
+                        mode=self.mode,
                     )
                 )
             )

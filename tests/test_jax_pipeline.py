@@ -137,3 +137,20 @@ def test_batched_matches_single_pixels():
     for bb, sb, im in zip(batched, single, imgs):
         np.testing.assert_array_equal(dec.decode(bb).data, im.data)
         np.testing.assert_array_equal(dec.decode(sb).data, im.data)
+
+
+@pytest.mark.parametrize("mode", ["parity", "parallel"])
+def test_modes_roundtrip_cross_backend(mode):
+    img = _natural_image(48, 40, 3, seed=21)
+    blob = FRIEncoder(EncoderOptions(backend="jax", mode=mode)).encode(img)
+    for backend in ("jax", "numpy"):
+        out = FRIDecoder(backend=backend).decode(blob)
+        np.testing.assert_array_equal(out.data, img.data)
+
+
+def test_parallel_mode_fewer_steps():
+    from frave_tpu.fractal.schedule import get_lane_steps
+
+    par = get_lane_steps(64, 64, 64, mode="parallel")
+    ref = get_lane_steps(64, 64, 64, mode="parity")
+    assert par.num_steps < ref.num_steps / 2
