@@ -116,6 +116,20 @@ class _Reader:
         return struct.unpack("<I", self.take(4))[0]
 
 
+def ensure_tables(contexts) -> None:
+    """Regenerate freq/cdf tables in place for host-side decoders
+    (reference decode-side finalize_context, serialize.rs:230-236)."""
+    for bucket, ctx in enumerate(contexts):
+        if ctx.freqs is None:
+            tab = context_from_wire(
+                bucket, int(ctx.max_freq_bits), np.asarray(
+                    ctx.off_distribution_values, dtype=np.int64
+                ).tolist()
+            )
+            ctx.freqs = tab.freqs
+            ctx.cdf = tab.cdf
+
+
 def deserialize(data: bytes) -> CompressedImage:
     r = _Reader(data)
     if r.take(4) != MAGIC:
@@ -151,13 +165,15 @@ def deserialize(data: bytes) -> CompressedImage:
             bits = r.u8()
             off_len = r.u32()
             off = np.frombuffer(r.take(2 * off_len), dtype="<u2")
-            tab = context_from_wire(bucket, bits, off.tolist())
+            # freqs/cdf are regenerated lazily by the decoder backends
+            # (ensure_tables below / on-device twin) — deserialization
+            # stays cheap.
             contexts.append(
                 AnsContextTables(
-                    max_freq_bits=tab.max_freq_bits,
-                    off_distribution_values=tab.off_distribution_values,
-                    freqs=tab.freqs,
-                    cdf=tab.cdf,
+                    max_freq_bits=bits,
+                    off_distribution_values=off.copy(),
+                    freqs=None,
+                    cdf=None,
                 )
             )
 

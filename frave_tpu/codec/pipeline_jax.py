@@ -149,6 +149,7 @@ class CodecProgram:
             put(sched.sched_group.astype(np.int32)),  # sgrp
             put(_LAPLACE_ROWS.astype(np.uint32)),  # lap rows [10, 7, 1024]
         )
+        self._lap = self._enc_args[-1]
         st_coef = steps.step_coef.astype(np.int32)
         st_active = st_coef >= 0
         self._dec_args = (
@@ -301,13 +302,12 @@ class CodecProgram:
         def decode_fused(
             states,  # [C, NL] uint32
             words,  # [C, NL, W] uint16
-            lut,  # [C, 10, 2**LUT_BITS] int16
-            freqs,  # [C, 10, 1024] uint32
-            cdfs,  # [C, 10, 1024] uint32
-            bits,  # [C, 10] int32
+            wire_bits,  # [C, 10] int32
+            offpk,  # [C, 10, 32] uint32 off-list bitmask
             vparams,  # [C, 3, 6] f32
             wparams,  # [C, 3, 6] f32
             qdiv,  # [N] int32
+            lap,  # [10, 7, 1024] u32
             d_coef,
             d_active,
             d_nbr,
@@ -315,6 +315,42 @@ class CodecProgram:
             d_grp,
             pix_safe,
         ):
+            # --- regenerate context tables on device (context_from_wire
+            # twin: all-zero hist, wire bits, wire off-mask)
+            shifts32 = jnp.arange(32, dtype=jnp.uint32)
+            off_mask = (
+                ((offpk[..., None] >> shifts32) & jnp.uint32(1)) > 0
+            ).reshape(C, CONTEXT_AMOUNT, ALPHABET_SIZE)
+            zero_hist = jnp.zeros(
+                (C, CONTEXT_AMOUNT, ALPHABET_SIZE), jnp.int32
+            )
+            bits, freqs_i, cdfs_i, _ = finalize_contexts_device(
+                zero_hist, lap, bits0=wire_bits, off_mask_in=off_mask
+            )
+            freqs = freqs_i.astype(jnp.uint32)
+            cdfs = cdfs_i.astype(jnp.uint32)
+
+            # --- decode LUT: lut[f] = (#cdf_scaled <= f) - 1 via
+            # bincount+cumsum. Trailing zero-freq symbols have
+            # cdf == 1 << bits, which scales to exactly 1 << LUT_BITS —
+            # out of the fine-slot range; route them to a discard slot so
+            # they never pollute a neighbouring bucket's range.
+            shift = (jnp.uint32(LUT_BITS) - bits.astype(jnp.uint32))[..., None]
+            cdf_s = (cdfs << shift).astype(jnp.int32)  # [C, 10, 1024] <= 2**14
+            row = (
+                jnp.arange(C * CONTEXT_AMOUNT, dtype=jnp.int32)[:, None]
+                * (1 << LUT_BITS)
+            ).reshape(C, CONTEXT_AMOUNT, 1)
+            n_lut = C * CONTEXT_AMOUNT * (1 << LUT_BITS)
+            ids = jnp.where(cdf_s < (1 << LUT_BITS), cdf_s + row, n_lut)
+            counts = (
+                jnp.zeros(n_lut + 1, jnp.int32)
+                .at[ids.reshape(-1)]
+                .add(1)[:n_lut]
+                .reshape(C, CONTEXT_AMOUNT, 1 << LUT_BITS)
+            )
+            lut = jnp.cumsum(counts, axis=-1) - 1  # int32
+
             qpad0 = jnp.zeros((C, n_slots + 1), dtype=jnp.int32)
             ptr0 = jnp.zeros((C, nl), dtype=jnp.int32)
 
@@ -370,8 +406,8 @@ class CodecProgram:
             self._enc_jit[B] = fn
         return fn(pixels_b, qdiv, *self._enc_args)
 
-    def decode_exec(self, states, words, lut, freqs, cdfs, bits, vp, wp, qdiv):
-        """All args batched on axis 0 (B) -> pixels [B, C, HW] uint8."""
+    def decode_exec(self, states, words, wire_bits, offpk, vp, wp, qdiv):
+        """Batched (axis 0) wire fields -> pixels [B, C, HW] uint8."""
         B = states.shape[0]
         W = words.shape[-1]
         key = (B, W)
@@ -380,11 +416,13 @@ class CodecProgram:
             fn = jax.jit(
                 jax.vmap(
                     self._decode_fused,
-                    in_axes=(0,) * 8 + (None,) * 7,
+                    in_axes=(0,) * 6 + (None,) * 8,
                 )
             )
             self._dec_jit[key] = fn
-        return fn(states, words, lut, freqs, cdfs, bits, vp, wp, qdiv, *self._dec_args)
+        return fn(
+            states, words, wire_bits, offpk, vp, wp, qdiv, self._lap, *self._dec_args
+        )
 
 
 _program_cache: Dict[Tuple[int, int, int, int, int, str], CodecProgram] = {}
@@ -454,13 +492,14 @@ def _unpack_channels(
                 (ompk[b][:, None] >> np.arange(32, dtype=np.uint32)) & 1
             ).astype(bool).reshape(-1)
             off = np.nonzero(mask_bits)[0].astype(np.uint16)
-            t = context_from_wire(b, int(bits[b]), off.tolist())
+            # freqs/cdf stay None: the container carries only (bits, off)
+            # and every decoder regenerates tables itself
             contexts.append(
                 AnsContextTables(
-                    max_freq_bits=t.max_freq_bits,
-                    off_distribution_values=t.off_distribution_values,
-                    freqs=t.freqs,
-                    cdf=t.cdf,
+                    max_freq_bits=int(bits[b]),
+                    off_distribution_values=off,
+                    freqs=None,
+                    cdf=None,
                 )
             )
         lane_words = [
@@ -540,10 +579,8 @@ def decode_pipeline_jax_batch(images: List[CompressedImage]) -> List[RasterImage
                 maxw = max(maxw, int(wds.shape[0]))
     Wpad = _next_pow2(max(64, maxw))
 
-    freqs = np.zeros((B, C, CONTEXT_AMOUNT, ALPHABET_SIZE), dtype=np.uint32)
-    cdfs = np.zeros_like(freqs)
     bits = np.zeros((B, C, CONTEXT_AMOUNT), dtype=np.int32)
-    luts = np.zeros((B, C, CONTEXT_AMOUNT, 1 << LUT_BITS), dtype=np.int16)
+    offpk = np.zeros((B, C, CONTEXT_AMOUNT, ALPHABET_SIZE // 32), dtype=np.uint32)
     states = np.zeros((B, C, nl), dtype=np.uint32)
     words = np.zeros((B, C, nl, Wpad), dtype=np.uint16)
     vparams = np.zeros((B, C, 3, 6), dtype=np.float32)
@@ -553,10 +590,14 @@ def decode_pipeline_jax_batch(images: List[CompressedImage]) -> List[RasterImage
         for c in range(C):
             cd = im.channel_data[c]
             for k, t in enumerate(cd.ans_contexts):
-                freqs[b, c, k] = t.freqs
-                cdfs[b, c, k] = t.cdf
                 bits[b, c, k] = t.max_freq_bits
-            luts[b, c] = build_decode_lut(cdfs[b, c], bits[b, c])
+                off = np.asarray(t.off_distribution_values, dtype=np.int64)
+                if off.size:
+                    np.bitwise_or.at(
+                        offpk[b, c, k],
+                        off // 32,
+                        np.uint32(1) << (off % 32).astype(np.uint32),
+                    )
             states[b, c] = np.asarray(cd.lane_states, dtype=np.uint32)
             for l, wds in enumerate(cd.lane_words):
                 words[b, c, l, : wds.shape[0]] = wds
@@ -574,10 +615,8 @@ def decode_pipeline_jax_batch(images: List[CompressedImage]) -> List[RasterImage
         prog.decode_exec(
             jnp.asarray(states),
             jnp.asarray(words),
-            jnp.asarray(luts),
-            jnp.asarray(freqs),
-            jnp.asarray(cdfs),
             jnp.asarray(bits),
+            jnp.asarray(offpk),
             jnp.asarray(vparams),
             jnp.asarray(wparams),
             qdiv,

@@ -136,8 +136,11 @@ def decode_pipeline_np(image: CompressedImage) -> RasterImage:
     decoders = []
     vparams = []
     wparams = []
+    from .container import ensure_tables
+
     for ch in range(C):
         cd = image.channel_data[ch]
+        ensure_tables(cd.ans_contexts)
         freqs = np.stack([c.freqs for c in cd.ans_contexts])
         cdfs = np.stack([c.cdf for c in cd.ans_contexts])
         bits = np.asarray([c.max_freq_bits for c in cd.ans_contexts], dtype=np.int32)

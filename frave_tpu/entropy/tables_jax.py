@@ -26,21 +26,37 @@ from .tables import (
 )
 
 
-def finalize_contexts_device(hist: jnp.ndarray, lap_rows: jnp.ndarray):
+def finalize_contexts_device(
+    hist: jnp.ndarray,
+    lap_rows: jnp.ndarray,
+    bits0: jnp.ndarray = None,
+    off_mask_in: jnp.ndarray = None,
+):
     """hist: [..., 10, 1024] int32 data histograms;
     lap_rows: [10, 7, 1024] u32 Laplace tables per (bucket, bits).
 
+    Encode side: bits0/off_mask_in omitted — starting bits come from the
+    histogram totals (context_from_histogram). Decode side: pass the wire
+    bits and off-mask with an all-zero hist (context_from_wire) — the
+    bits-bump loop is idempotent on already-bumped wire values.
+
     Returns (bits [..., 10] i32, freqs [..., 10, 1024] i32,
-    cdf [..., 10, 1024] i32, off_mask [..., 10, 1024] bool) — exactly
-    context_from_histogram per bucket."""
+    cdf [..., 10, 1024] i32, off_mask [..., 10, 1024] bool) — exact twin
+    of the host implementation."""
     h = hist.astype(jnp.int32)
-    data = h > 0  # [..., 10, 1024]
+    data_raw = h > 0  # [..., 10, 1024]
+    # forced-to-1 set: data symbols plus the wire off-list (host
+    # _fill_with_laplace semantics)
+    data = data_raw if off_mask_in is None else (data_raw | off_mask_in)
     total = jnp.sum(h, axis=-1)  # [..., 10]
 
-    # bits0 = clamp(bit_length(total) - 1, 8, 14)
-    bits0 = jnp.full(total.shape, MIN_FREQ_BITS, jnp.int32)
-    for k in range(MIN_FREQ_BITS + 1, MAX_FREQ_BITS_CAP + 1):
-        bits0 = bits0 + (total >= (1 << k)).astype(jnp.int32)
+    if bits0 is None:
+        # bits0 = clamp(bit_length(total) - 1, 8, 14)
+        bits0 = jnp.full(total.shape, MIN_FREQ_BITS, jnp.int32)
+        for k in range(MIN_FREQ_BITS + 1, MAX_FREQ_BITS_CAP + 1):
+            bits0 = bits0 + (total >= (1 << k)).astype(jnp.int32)
+    else:
+        bits0 = jnp.clip(bits0.astype(jnp.int32), MIN_FREQ_BITS, MAX_FREQ_BITS_CAP)
 
     lap = lap_rows.astype(jnp.int32)  # [10, 7, 1024]
     # [7, 1...1, 10, 1024] so the bits axis broadcasts against data's
@@ -70,7 +86,9 @@ def finalize_contexts_device(hist: jnp.ndarray, lap_rows: jnp.ndarray):
         sel[..., None, None],
         axis=-2,
     )[..., 0, :]
-    off_mask = data & (lap_sel == 0)
+    off_mask = data_raw & (lap_sel == 0)
+    if off_mask_in is not None:
+        off_mask = off_mask | off_mask_in
 
     # --- largest-remainder normalization (tables._normalize_freqs twin)
     target = (jnp.int32(1) << bits).astype(jnp.int32)  # [..., 10]

@@ -395,9 +395,13 @@ def get_geometry(height: int, width: int, depth: int = BASE_FRAC_DEPTH) -> Fract
     with _cache_lock:
         geo = _geometry_cache.get(key)
     if geo is None:
-        from .geometry_fast import build_geometry_fast
+        from ..native import build_geometry_native
 
-        geo = build_geometry_fast(height, width, depth)
+        geo = build_geometry_native(height, width, depth)
+        if geo is None:
+            from .geometry_fast import build_geometry_fast
+
+            geo = build_geometry_fast(height, width, depth)
         with _cache_lock:
             _geometry_cache[key] = geo
     return geo
