@@ -40,6 +40,7 @@ from ..ops.lifting import (
 )
 from ..ops.prediction import contexts_np, gather_neighbour_values
 from ..ops.rans import LaneDecoder, encode_lanes
+from ..metrics import get_metrics
 from ..utils import pack_signed, unpack_signed
 from .options import EncoderOptions, quantization_matrix
 
@@ -97,6 +98,26 @@ def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedIm
         states, words = encode_lanes(
             symbols.astype(np.uint32), buckets.astype(np.int32), freqs, cdfs, bits, nl
         )
+
+        # observability (replaces prediction.rs:300 ./mse side files and
+        # entropy_coding.rs:337-340 bpp prints; see frave_tpu/metrics.py)
+        m = get_metrics()
+        m.verbose = m.verbose or opts.verbose
+        m.record(f"encode/mean_abs_residual_ch{ch}", float(np.abs(residuals).mean()))
+        total_words = int(sum(w.shape[0] for w in words))
+        m.record(
+            f"encode/bpp_ch{ch}",
+            16.0 * total_words / (meta.height * meta.width),
+        )
+        if opts.emit_coefficients:
+            for b, ctx in enumerate(contexts):
+                m.record_array(
+                    f"encode/context_hist_ch{ch}_b{b}",
+                    np.bincount(
+                        symbols[buckets == b].astype(np.int64),
+                        minlength=ALPHABET_SIZE,
+                    )[:ALPHABET_SIZE],
+                )
         channel_data.append(
             ChannelData(
                 ans_contexts=[
