@@ -82,8 +82,9 @@ def serialize(image: CompressedImage) -> bytes:
         nl = image.num_lanes
         states = np.asarray(cd.lane_states, dtype="<u4")
         assert states.shape == (nl,)
-        counts = np.asarray([w.shape[0] for w in cd.lane_words], dtype="<u4")
+        counts = np.asarray([w.shape[0] for w in cd.lane_words], dtype="<u2")
         assert counts.shape == (nl,)
+        assert all(w.shape[0] <= 0xFFFF for w in cd.lane_words)
         out += states.tobytes()
         out += counts.tobytes()
         for w in cd.lane_words:
@@ -180,7 +181,7 @@ def deserialize(data: bytes) -> CompressedImage:
         if r.u16() != MARKER_DAT:
             raise SerializeError("expected DAT segment")
         states = np.frombuffer(r.take(4 * nl), dtype="<u4").copy()
-        counts = np.frombuffer(r.take(4 * nl), dtype="<u4")
+        counts = np.frombuffer(r.take(2 * nl), dtype="<u2")
         words = []
         for c in counts:
             words.append(np.frombuffer(r.take(2 * int(c)), dtype="<u2").copy())

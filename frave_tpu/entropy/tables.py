@@ -38,15 +38,30 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 ALPHABET_SIZE = 1024  # zig-zag residual symbols (entropy_coding.rs:25)
-CONTEXT_AMOUNT = 10  # Laplace-width buckets (prediction.rs:15)
+# Laplace-width buckets. The reference uses 10 buckets with the narrowest
+# at width 2.5 (prediction.rs:15,70-84) — that floors the rate at ~3.3
+# bits/symbol even on perfectly predicted (all-zero-residual) content.
+# Narrow buckets (0.1, 0.4, 1.0, 1.8) are added so flat regions approach
+# their true entropy (bucket 0 at width 0.1 is effectively a
+# zero-residual context: its Laplace pmf rounds to a delta at symbol 0,
+# outliers ride the off-list); the bucket edges are compared in f32
+# instead of the reference's `width as u32` truncation so sub-integer
+# widths resolve, and a deterministic flat-context rule
+# (ops/prediction.py: all gradient features zero -> bucket 0) routes
+# perfectly-predicted symbols there regardless of the learned width
+# model's bias floor.
+CONTEXT_AMOUNT = 15
 MIN_FREQ_BITS = 8
 MAX_FREQ_BITS_CAP = 14
 NUM_BITS_CHOICES = MAX_FREQ_BITS_CAP - MIN_FREQ_BITS + 1  # 7
 
-# (exp(-1/width), 1/(2*width)) as IEEE-754 f64 hex literals for each
-# bucket's representative width [2.5, 4.5, 6.3, 8.5, 12.7, 16, 20, 24, 28,
-# 36, 50] (prediction.rs:70-84). Hardcoded for cross-platform determinism.
+# (exp(-1/width), 1/(2*width)) as IEEE-754 f64 hex literals per bucket
+# width. Hardcoded for cross-platform determinism (see module docstring).
 _LAPLACE_CONSTANTS: Tuple[Tuple[str, str], ...] = (
+    ("0x1.7cd79b5647c9bp-15", "0x1.4000000000000p+2"),  # width 0.1
+    ("0x1.50385c094f425p-4", "0x1.4000000000000p+0"),  # width 0.4
+    ("0x1.78b56362cef38p-2", "0x1.0000000000000p-1"),  # width 1.0
+    ("0x1.25c3022412203p-1", "0x1.1c71c71c71c72p-2"),  # width 1.8
     ("0x1.57343067270eep-1", "0x1.999999999999ap-3"),  # width 2.5
     ("0x1.99fa40bc6c5f7p-1", "0x1.c71c71c71c71cp-4"),  # width 4.5
     ("0x1.b4da1cb5e42a6p-1", "0x1.4514514514514p-4"),  # width 6.3
@@ -60,22 +75,35 @@ _LAPLACE_CONSTANTS: Tuple[Tuple[str, str], ...] = (
     ("0x1.f5dc99badec5bp-1", "0x1.47ae147ae147bp-7"),  # width 50.0
 )
 
-_BUCKET_WIDTHS = (2.5, 4.5, 6.3, 8.5, 12.7, 16.0, 20.0, 24.0, 28.0, 36.0, 50.0)
+_BUCKET_WIDTHS = (
+    0.1, 0.4, 1.0, 1.8, 2.5, 4.5, 6.3, 8.5, 12.7, 16.0, 20.0, 24.0, 28.0, 36.0,
+    50.0,
+)
+
+# bucket b covers widths in [BUCKET_EDGES[b-1], BUCKET_EDGES[b]); edges
+# beyond 3.0 keep the reference's integer boundaries (prediction.rs:55-68).
+BUCKET_EDGES = (
+    0.25, 0.6, 1.4, 2.2, 3.0, 5.0, 6.0, 8.0, 12.0, 16.0, 20.0, 25.0, 30.0, 42.0,
+)
 
 
 def width_of_bucket(bucket: int) -> float:
-    """Representative Laplace width per bucket (prediction.rs:70-84)."""
-    return _BUCKET_WIDTHS[min(bucket, 10)]
+    """Representative Laplace width per bucket."""
+    return _BUCKET_WIDTHS[min(bucket, CONTEXT_AMOUNT - 1)]
 
 
 def assign_bucket(width) -> np.ndarray:
-    """Width -> bucket LUT (prediction.rs:55-68). Input is the f32 width;
-    the reference casts `width as u32` which truncates toward zero and
-    saturates negatives to 0 — replicated here."""
-    w = np.asarray(width, dtype=np.float64)
-    wu = np.where(np.isnan(w), 0, np.clip(np.trunc(w), 0, 2**32 - 1)).astype(np.int64)
-    edges = np.asarray([3, 5, 6, 8, 12, 16, 20, 25, 30], dtype=np.int64)
-    return np.searchsorted(edges, wu, side="right").astype(np.int32)
+    """Width -> bucket: count of edges <= width, in f32 (NaN/negative -> 0).
+
+    Must match the device twin (frave_tpu/ops/jax_ops.assign_bucket_f32)
+    exactly: same f32 edge comparisons."""
+    w = np.asarray(width, dtype=np.float32)
+    w = np.where(np.isnan(w), np.float32(0), np.maximum(w, np.float32(0)))
+    edges = np.asarray(BUCKET_EDGES, dtype=np.float32)
+    bucket = np.zeros(w.shape, dtype=np.int32)
+    for e in edges:
+        bucket = bucket + (w >= e).astype(np.int32)
+    return bucket
 
 
 def _laplace_rows_all() -> np.ndarray:

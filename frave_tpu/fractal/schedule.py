@@ -260,12 +260,17 @@ def build_lane_steps(sched: WavefrontSchedule, nl: int) -> LaneSteps:
 
 
 def default_num_lanes(num_symbols: int) -> int:
-    """Lane count heuristic: enough lanes to keep the wavefront wide, few
-    enough that per-lane stream overhead (4B state + 4B count) stays small."""
+    """Lane count heuristic: wide enough to keep the decode wavefront fed,
+    small enough that per-lane wire overhead (4B state + 2B count) stays
+    under ~0.25 bpp; always large enough that per-lane word counts fit the
+    container's u16 count field (R = ceil(K / NL) < 65536)."""
     if num_symbols <= 0:
-        return 8
-    target = max(8, min(256, num_symbols // 64))
-    return 1 << (int(target).bit_length() - 1)
+        return 16
+    target = max(16, min(256, num_symbols // 256))
+    nl = 1 << (int(target).bit_length() - 1)
+    while -(-num_symbols // nl) > 0xFFFF:
+        nl *= 2
+    return nl
 
 
 _sched_cache: Dict[Tuple[int, int, int, str], WavefrontSchedule] = {}

@@ -23,8 +23,9 @@ import jax.numpy as jnp
 
 PRED_CLAMP = 255  # see frave_tpu/ops/prediction.py docstring
 
-# width -> bucket edges (reference assign_bucket, prediction.rs:55-68)
-_BUCKET_EDGES = (3.0, 5.0, 6.0, 8.0, 12.0, 16.0, 20.0, 25.0, 30.0)
+# width -> bucket edges — MUST match frave_tpu/entropy/tables.BUCKET_EDGES
+# (the host/device twins are compared in tests)
+from ..entropy.tables import BUCKET_EDGES as _BUCKET_EDGES
 
 
 def trunc_div(a: jnp.ndarray, q) -> jnp.ndarray:
@@ -106,11 +107,11 @@ def dequantize(coef: jnp.ndarray, divisors: jnp.ndarray) -> jnp.ndarray:
 
 
 def assign_bucket_f32(width_f32: jnp.ndarray) -> jnp.ndarray:
-    """Width -> context bucket (prediction.rs:55-68). `width as u32`
-    truncates toward zero, saturates negatives/NaN to 0 — bucket is the
-    count of edges <= trunc(width)."""
-    w = jnp.where(jnp.isnan(width_f32), 0.0, width_f32)
-    w = jnp.trunc(jnp.clip(w, 0.0, 4.0e9))
+    """Width -> context bucket: count of f32 edges <= width (NaN and
+    negative widths -> bucket 0). Exact twin of
+    frave_tpu/entropy/tables.assign_bucket."""
+    w = jnp.where(jnp.isnan(width_f32), jnp.float32(0), width_f32)
+    w = jnp.maximum(w, jnp.float32(0))
     bucket = jnp.zeros(w.shape, dtype=jnp.int32)
     for e in _BUCKET_EDGES:
         bucket = bucket + (w >= jnp.float32(e)).astype(jnp.int32)
@@ -153,6 +154,9 @@ def contexts(
         + wp[..., 4] * g4
         + wp[..., 5] * g5
     )
+    # flat-context rule — see ops/prediction.py (exact twin)
+    gsum = g1 + g2 + g3 + g4 + g5
+    hf_width = jnp.where(gsum == jnp.float32(0), jnp.float32(0), hf_width)
     hf_bucket = assign_bucket_f32(hf_width)
     hf_pred_f = (
         vf[..., 0] * vp[..., 0]

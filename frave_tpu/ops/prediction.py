@@ -60,6 +60,12 @@ def contexts_np(
         + wp[..., 4] * g4
         + wp[..., 5] * g5
     ).astype(np.float32)
+    # flat-context rule: identical neighbourhood (all gradient features
+    # zero) means the residual is almost surely 0 — force the
+    # zero-residual bucket regardless of the learned width's bias floor.
+    # Computed identically on encode and decode (and in the jax twin).
+    gsum = (g1 + g2 + g3 + g4 + g5).astype(np.float32)
+    hf_width = np.where(gsum == np.float32(0), np.float32(0), hf_width)
     hf_bucket = assign_bucket(hf_width)
     hf_pred_f = (
         vf[..., 0] * vp[..., 0]

@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..entropy.tables import CONTEXT_AMOUNT
+
 RANS_L = 1 << 16
 WORD_BITS = 16
 LUT_BITS = 14  # == MAX_FREQ_BITS_CAP (frave_tpu/entropy/tables.py)
@@ -92,7 +94,7 @@ def encode_scan(
     def step(x, row):
         sym, bkt, valid = row
         sym = jnp.clip(sym, 0, 1023).astype(jnp.int32)
-        bkt = jnp.clip(bkt, 0, 9).astype(jnp.int32)
+        bkt = jnp.clip(bkt, 0, CONTEXT_AMOUNT - 1).astype(jnp.int32)
         fr, cd, bi = gather_tabs(bkt, sym)
         fr = jnp.where(valid, fr, jnp.uint32(1))
         cd = jnp.where(valid, cd, jnp.uint32(0))
@@ -128,7 +130,7 @@ def decode_step_symbols(
     """One decode step for all lanes. Returns (sym [..., NL] int32, x', ptr')."""
     lanes_shape = x.shape
 
-    bkt = jnp.clip(buckets, 0, 9).astype(jnp.int32)
+    bkt = jnp.clip(buckets, 0, CONTEXT_AMOUNT - 1).astype(jnp.int32)
 
     def g_bits(tab, bk):
         return tab[bk]

@@ -10,14 +10,17 @@ from frave_tpu.entropy.tables import (
 
 
 def test_assign_bucket_edges():
-    # prediction.rs:55-68 half-open ranges
-    cases = {0: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 3, 7: 3, 8: 4, 11: 4, 12: 5,
-             15: 5, 16: 6, 19: 6, 20: 7, 24: 7, 25: 8, 29: 8, 30: 9, 1000: 9}
+    # float half-open ranges over BUCKET_EDGES (narrow buckets added vs
+    # the reference's integer edges, prediction.rs:55-68)
+    from frave_tpu.entropy.tables import BUCKET_EDGES, CONTEXT_AMOUNT
+
+    assert len(BUCKET_EDGES) == CONTEXT_AMOUNT - 1
+    cases = {0.0: 0, 0.2: 0, 0.25: 1, 0.59: 1, 0.6: 2, 1.39: 2, 1.4: 3,
+             2.2: 4, 2.999: 4, 3.0: 5, 5.0: 6, 6.0: 7, 8.0: 8, 12.0: 9,
+             16.0: 10, 20.0: 11, 25.0: 12, 30.0: 13, 42.0: 14, 1000.0: 14}
     for w, b in cases.items():
-        assert int(assign_bucket(float(w))) == b, (w, b)
-    # f32 -> u32 Rust cast semantics: trunc, negatives saturate to 0
+        assert int(assign_bucket(w)) == b, (w, b)
     assert int(assign_bucket(-3.7)) == 0
-    assert int(assign_bucket(2.999)) == 0
     assert int(assign_bucket(float("nan"))) == 0
 
 
