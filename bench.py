@@ -51,8 +51,8 @@ def bench_jax(corpus: np.ndarray, reps: int = 3) -> float:
     from frave_tpu import EncoderOptions, RasterImage
     from frave_tpu.codec.container import deserialize, serialize
     from frave_tpu.codec.pipeline_jax import (
-        decode_pipeline_jax_batch,
-        encode_pipeline_jax_batch,
+        decode_pipeline_jax_stream,
+        encode_pipeline_jax_stream,
     )
 
     opts = EncoderOptions(backend="jax")
@@ -60,8 +60,13 @@ def bench_jax(corpus: np.ndarray, reps: int = 3) -> float:
     imgs = [RasterImage.from_array(corpus[i]) for i in range(n)]
 
     def roundtrip():
-        blobs = [serialize(ci) for ci in encode_pipeline_jax_batch(imgs, opts)]
-        outs = decode_pipeline_jax_batch([deserialize(b) for b in blobs])
+        blobs = [
+            serialize(ci)
+            for ci in encode_pipeline_jax_stream(imgs, opts, batch_size=32)
+        ]
+        outs = decode_pipeline_jax_stream(
+            [deserialize(b) for b in blobs], batch_size=32
+        )
         return blobs, outs
 
     blobs, outs = roundtrip()  # warmup (compile)
@@ -98,7 +103,7 @@ def bench_numpy_baseline(image: np.ndarray) -> float:
 
 def main():
     h = w = 256
-    corpus = make_corpus(8, h, w, 1, seed=42)
+    corpus = make_corpus(64, h, w, 1, seed=42)
     value = bench_jax(corpus)
     baseline = bench_numpy_baseline(corpus[0])
     print(

@@ -33,11 +33,12 @@ from ..images import (
 from ..entropy.tables import CONTEXT_AMOUNT, context_from_wire
 
 MAGIC = b"frif"
-VERSION = 3
+VERSION = 4
 _MODES = ("parallel", "parity")  # wire encodings 0, 1
 MARKER_PRD = 0xFFBB
 MARKER_EHD = 0xFFB2
-MARKER_DAT = 0xFFB4
+MARKER_STT = 0xFFB5  # per-channel lane states
+MARKER_SDT = 0xFFB6  # image-level global word stream
 MARKER_EOC = 0xFFB8
 MARKER_EOI = 0xFFDF
 
@@ -78,19 +79,19 @@ def serialize(image: CompressedImage) -> bytes:
             out += struct.pack("<I", off.shape[0])
             out += off.tobytes()
 
-        out += struct.pack("<H", MARKER_DAT)
+        out += struct.pack("<H", MARKER_STT)
         nl = image.num_lanes
         states = np.asarray(cd.lane_states, dtype="<u4")
         assert states.shape == (nl,)
-        counts = np.asarray([w.shape[0] for w in cd.lane_words], dtype="<u2")
-        assert counts.shape == (nl,)
-        assert all(w.shape[0] <= 0xFFFF for w in cd.lane_words)
         out += states.tobytes()
-        out += counts.tobytes()
-        for w in cd.lane_words:
-            out += np.asarray(w, dtype="<u2").tobytes()
         out += struct.pack("<H", MARKER_EOC)
 
+    stream = np.asarray(
+        image.stream if image.stream is not None else [], dtype="<u2"
+    )
+    out += struct.pack("<H", MARKER_SDT)
+    out += struct.pack("<I", stream.shape[0])
+    out += stream.tobytes()
     out += struct.pack("<H", MARKER_EOI)
     return bytes(out)
 
@@ -178,25 +179,24 @@ def deserialize(data: bytes) -> CompressedImage:
                 )
             )
 
-        if r.u16() != MARKER_DAT:
-            raise SerializeError("expected DAT segment")
+        if r.u16() != MARKER_STT:
+            raise SerializeError("expected STT segment")
         states = np.frombuffer(r.take(4 * nl), dtype="<u4").copy()
-        counts = np.frombuffer(r.take(2 * nl), dtype="<u2")
-        words = []
-        for c in counts:
-            words.append(np.frombuffer(r.take(2 * int(c)), dtype="<u2").copy())
         if r.u16() != MARKER_EOC:
             raise SerializeError("expected EOC")
         channel_data.append(
             ChannelData(
                 ans_contexts=contexts,
                 lane_states=states,
-                lane_words=words,
                 value_prediction_parameters=vp,
                 width_prediction_parameters=wp,
             )
         )
 
+    if r.u16() != MARKER_SDT:
+        raise SerializeError("expected SDT segment")
+    total = r.u32()
+    stream = np.frombuffer(r.take(2 * total), dtype="<u2").copy()
     if r.u16() != MARKER_EOI:
         raise SerializeError("expected EOI")
     return CompressedImage(
@@ -206,4 +206,5 @@ def deserialize(data: bytes) -> CompressedImage:
         num_lanes=nl,
         quantization_matrix=qm,
         mode=mode,
+        stream=stream,
     )

@@ -62,9 +62,9 @@ from ..fractal.schedule import default_num_lanes, get_lane_steps, get_schedule
 from ..ops import jax_ops as J
 from ..ops.rans_jax import (
     LUT_BITS,
-    build_decode_lut,
-    decode_step_symbols,
+    decode_step_stream,
     encode_scan,
+    stream_compact,
 )
 from .options import EncoderOptions, quantization_matrix
 
@@ -90,9 +90,13 @@ def _i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-# Packed-output layout constants (per channel, int32 words):
-#   vparams(18) wparams(18) bits(10) off_bitmask(10*32)
-#   states(NL) counts(NL) packed_words(NL * ceil(R/2))
+# Packed-output layout (int32 words):
+#   per channel: vparams(18) wparams(18) bits(CA) off_bitmask(CA*32)
+#                states(NL)
+#   then global: total_words(1) stream(ceil(K*C/2), u16 pairs)
+# The fetch is split: the fixed-size header part first (tiny), then a
+# host-sliced prefix of the stream sized by the fetched totals — padding
+# bytes never cross the device link.
 _HDR = 18 + 18 + CONTEXT_AMOUNT + CONTEXT_AMOUNT * (ALPHABET_SIZE // 32)
 
 
@@ -130,8 +134,11 @@ class CodecProgram:
         R = self.rows
         S = steps.num_steps
         HW = h * w
-        Rp2 = (R + 1) // 2
-        self.chan_words = _HDR + 2 * nl + nl * Rp2
+        KC = K * C
+        self.kc = KC
+        self.kcp2 = (KC + 1) // 2
+        self.chan_hdr = _HDR + nl
+        self.hdr_words = C * self.chan_hdr + 1  # + global total
 
         # ---- device-resident geometry/schedule tensors (uploaded once) ----
         pg = geo.pixel_gather.astype(np.int32)  # [T, N]
@@ -150,6 +157,11 @@ class CodecProgram:
             put(_LAPLACE_ROWS.astype(np.uint32)),  # lap rows [10, 7, 1024]
         )
         self._lap = self._enc_args[-1]
+        from ..fractal.schedule import get_stream_perm
+
+        self._perm = put(
+            get_stream_perm(h, w, nl, depth, self.mode, C).astype(np.int32)
+        )
         st_coef = steps.step_coef.astype(np.int32)
         st_active = st_coef >= 0
         self._dec_args = (
@@ -167,7 +179,7 @@ class CodecProgram:
 
         # ------------- fused encode (single image [C, HW]) -------------
         def encode_fused(
-            pixels, qdiv, leaf_safe, leaf_mask, sc, snbr_safe, slf, sgrp, lap
+            pixels, qdiv, leaf_safe, leaf_mask, sc, snbr_safe, slf, sgrp, lap, perm
         ):
             leaves = jnp.where(
                 leaf_mask[None], pixels[:, leaf_safe], 0
@@ -256,58 +268,48 @@ class CodecProgram:
                 bits,
             )  # [C, NL] u32, [R, C, NL] u16, [R, C, NL] bool
 
-            # --- per-lane compaction (decode order = increasing r)
-            fi = flags.astype(jnp.int32)
-            pos = jnp.cumsum(fi, axis=0) - 1
-            idx = jnp.where(flags, pos, R)
-            cc = jax.lax.broadcasted_iota(jnp.int32, (R, C, nl), 1)
-            ll = jax.lax.broadcasted_iota(jnp.int32, (R, C, nl), 2)
-            compact = (
-                jnp.zeros((R + 1, C, nl), jnp.uint16)
-                .at[idx, cc, ll]
-                .set(words, mode="drop")
-            )[:R].transpose(1, 2, 0)  # [C, NL, R]
-            counts = jnp.sum(fi, axis=0)  # [C, NL]
-            if R % 2:
-                compact = jnp.concatenate(
-                    [compact, jnp.zeros((C, nl, 1), jnp.uint16)], axis=2
+            # --- global-stream compaction (decode order via static perm)
+            stream, total = stream_compact(words, flags, perm)
+            if KC % 2:
+                stream = jnp.concatenate(
+                    [stream, jnp.zeros(1, jnp.uint16)]
                 )
-            wpk = compact[:, :, 0::2].astype(jnp.uint32) | (
-                compact[:, :, 1::2].astype(jnp.uint32) << 16
-            )  # [C, NL, Rp2]
+            spk = stream[0::2].astype(jnp.uint32) | (
+                stream[1::2].astype(jnp.uint32) << 16
+            )  # [kcp2]
 
-            # --- off bitmask: [C, 10, 1024] -> [C, 10, 32] u32
+            # --- off bitmask: [C, CA, 1024] -> [C, CA, 32] u32
             om = off_mask.reshape(C, CONTEXT_AMOUNT, ALPHABET_SIZE // 32, 32)
             shifts = jnp.arange(32, dtype=jnp.uint32)
             ompk = jnp.sum(
                 om.astype(jnp.uint32) << shifts, axis=-1, dtype=jnp.uint32
             )
 
-            # --- single packed int32 output
-            packed = jnp.concatenate(
+            # --- packed int32 output: per-channel headers, total, stream
+            headers = jnp.concatenate(
                 [
                     _i32(vparams).reshape(C, -1),
                     _i32(wparams).reshape(C, -1),
                     bits.astype(jnp.int32),
                     _i32(ompk).reshape(C, -1),
                     _i32(states),
-                    counts,
-                    _i32(wpk).reshape(C, -1),
                 ],
                 axis=1,
-            )  # [C, chan_words]
-            return packed.reshape(-1)
+            )  # [C, chan_hdr]
+            return jnp.concatenate(
+                [headers.reshape(-1), total[None], _i32(spk)]
+            )
 
         # ------------- decode (single image) -------------
         def decode_fused(
             states,  # [C, NL] uint32
-            words,  # [C, NL, W] uint16
-            wire_bits,  # [C, 10] int32
-            offpk,  # [C, 10, 32] uint32 off-list bitmask
+            stream,  # [W] uint16 global word stream
+            wire_bits,  # [C, CA] int32
+            offpk,  # [C, CA, 32] uint32 off-list bitmask
             vparams,  # [C, 3, 6] f32
             wparams,  # [C, 3, 6] f32
             qdiv,  # [N] int32
-            lap,  # [10, 7, 1024] u32
+            lap,  # [CA, 7, 1024] u32
             d_coef,
             d_active,
             d_nbr,
@@ -352,18 +354,18 @@ class CodecProgram:
             lut = jnp.cumsum(counts, axis=-1) - 1  # int32
 
             qpad0 = jnp.zeros((C, n_slots + 1), dtype=jnp.int32)
-            ptr0 = jnp.zeros((C, nl), dtype=jnp.int32)
+            gptr0 = jnp.int32(0)
 
             def body(carry, xs):
-                qpad, x, ptr = carry
+                qpad, x, gptr = carry
                 coef_safe, active, nbr_safe, lf, grp = xs
                 vals = qpad[:, nbr_safe]  # [C, NL, 6]
                 buckets, preds = jax.vmap(
                     lambda v, vp, wp: J.contexts(v, lf, grp, vp, wp)
                 )(vals, vparams, wparams)
                 act = jnp.broadcast_to(active[None], (C, nl))
-                sym, x, ptr = decode_step_symbols(
-                    x, ptr, buckets, act, words, lut, freqs, cdfs, bits
+                sym, x, gptr = decode_step_stream(
+                    x, gptr, buckets, act, stream, lut, freqs, cdfs, bits
                 )
                 values = J.unpack_signed(sym) + preds
                 wslot = jnp.where(act, coef_safe[None], n_slots)
@@ -371,11 +373,11 @@ class CodecProgram:
                 qpad = jax.vmap(lambda q, s, v: q.at[s].set(v))(
                     qpad, wslot, wval
                 )
-                return (qpad, x, ptr), None
+                return (qpad, x, gptr), None
 
             (qpad, _, _), _ = jax.lax.scan(
                 body,
-                (qpad0, states, ptr0),
+                (qpad0, states, gptr0),
                 (d_coef, d_active, d_nbr, d_lf, d_grp),
             )
             qcoef = qpad[:, :n_slots].reshape(C, T, N)
@@ -392,11 +394,11 @@ class CodecProgram:
 
     # ---------------- batched jit entry points ----------------
     def encode_exec(self, pixels_b: jnp.ndarray, qdiv: jnp.ndarray):
-        """pixels_b: [B, C, HW] int32 -> packed [B, C * chan_words] i32."""
+        """pixels_b: [B, C, HW] int32 -> packed [B, hdr_words + kcp2] i32."""
         B = pixels_b.shape[0]
         fn = self._enc_jit.get(B)
         if fn is None:
-            n_static = len(self._enc_args) + 1  # qdiv + schedule tensors
+            n_static = len(self._enc_args) + 2  # qdiv + schedule tensors + perm
             fn = jax.jit(
                 jax.vmap(
                     self._encode_fused,
@@ -404,12 +406,13 @@ class CodecProgram:
                 )
             )
             self._enc_jit[B] = fn
-        return fn(pixels_b, qdiv, *self._enc_args)
+        return fn(pixels_b, qdiv, *self._enc_args, self._perm)
 
-    def decode_exec(self, states, words, wire_bits, offpk, vp, wp, qdiv):
-        """Batched (axis 0) wire fields -> pixels [B, C, HW] uint8."""
+    def decode_exec(self, states, stream, wire_bits, offpk, vp, wp, qdiv):
+        """Batched (axis 0) wire fields -> pixels [B, C, HW] uint8.
+        stream: [B, W] u16 zero-padded global streams."""
         B = states.shape[0]
-        W = words.shape[-1]
+        W = stream.shape[-1]
         key = (B, W)
         fn = self._dec_jit.get(key)
         if fn is None:
@@ -421,7 +424,7 @@ class CodecProgram:
             )
             self._dec_jit[key] = fn
         return fn(
-            states, words, wire_bits, offpk, vp, wp, qdiv, self._lap, *self._dec_args
+            states, stream, wire_bits, offpk, vp, wp, qdiv, self._lap, *self._dec_args
         )
 
 
@@ -465,13 +468,13 @@ def _qdiv_array(qm: np.ndarray, depth: int) -> np.ndarray:
 
 
 def _unpack_channels(
-    packed: np.ndarray, prog: CodecProgram
-) -> List[ChannelData]:
-    """One fetched int32 vector -> per-channel container fields."""
-    C, nl, R = prog.channels, prog.nl, prog.rows
-    Rp2 = (R + 1) // 2
-    out: List[ChannelData] = []
-    arr = packed.reshape(C, prog.chan_words)
+    head: np.ndarray, stream: np.ndarray, prog: CodecProgram
+):
+    """One image's fetched header row + exact-size stream -> container
+    fields. Returns (channel_data list, stream u16)."""
+    C, nl = prog.channels, prog.nl
+    out = []
+    arr = head[: C * prog.chan_hdr].reshape(C, prog.chan_hdr)
     for c in range(C):
         v = arr[c]
         o = 0
@@ -482,9 +485,6 @@ def _unpack_channels(
         ompk = v[o : o + nmask].view(np.uint32).reshape(CONTEXT_AMOUNT, -1)
         o += nmask
         states = v[o : o + nl].view(np.uint32).copy(); o += nl
-        counts = v[o : o + nl].copy(); o += nl
-        wpk = v[o : o + nl * Rp2].view(np.uint32).reshape(nl, Rp2)
-        words_u16 = wpk.view(np.uint16).reshape(nl, 2 * Rp2)
 
         contexts = []
         for b in range(CONTEXT_AMOUNT):
@@ -502,28 +502,22 @@ def _unpack_channels(
                     cdf=None,
                 )
             )
-        lane_words = [
-            words_u16[l, : int(counts[l])].copy() for l in range(nl)
-        ]
         out.append(
             ChannelData(
                 ans_contexts=contexts,
                 lane_states=states,
-                lane_words=lane_words,
                 value_prediction_parameters=vp,
                 width_prediction_parameters=wp,
             )
         )
-    return out
+    return out, stream
 
 
-def encode_pipeline_jax_batch(
-    images: List[RasterImage], opts: EncoderOptions
-) -> List[CompressedImage]:
-    """Encode a batch of SAME-SHAPE images in one device dispatch + fetch."""
+def _encode_dispatch(images: List[RasterImage], opts: EncoderOptions):
+    """Upload + launch the fused encode for one same-shape batch; returns
+    (prog, device packed output, qm) without blocking on the result."""
     meta = images[0].metadata
     C = meta.num_channels
-    B = len(images)
     for im in images:
         if im.metadata != meta:
             raise ValueError("batch images must share shape and colorspace")
@@ -538,21 +532,69 @@ def encode_pipeline_jax_batch(
             [im.data.reshape(-1, C).T.astype(np.int32) for im in images]
         )
     )  # [B, C, HW]
+    return prog, prog.encode_exec(pixels, qdiv), qm
 
-    packed = np.asarray(prog.encode_exec(pixels, qdiv))  # ONE fetch
+
+def _encode_finish(prog, packed_dev, qm, meta, opts) -> List[CompressedImage]:
+    """Fetch + unpack one batch's packed output into containers.
+
+    Two fetches: the fixed-size headers (with per-image stream totals),
+    then a host-sliced prefix of the stream region sized by the largest
+    total in the batch — worst-case padding never crosses the link."""
+    C = prog.channels
+    hw = prog.hdr_words
+    head = np.asarray(packed_dev[:, :hw])  # fetch 1 (small)
+    totals = head[:, hw - 1]
+    need = (int(totals.max()) + 1) // 2 if totals.size else 0
+    if need > 0:
+        tail = np.asarray(packed_dev[:, hw : hw + need])  # fetch 2 (exact)
+    else:
+        tail = np.zeros((head.shape[0], 0), dtype=np.int32)
     out: List[CompressedImage] = []
-    for b in range(B):
-        channel_data = _unpack_channels(packed[b], prog)
+    for b in range(head.shape[0]):
+        total_b = int(totals[b])
+        stream_b = tail[b].view(np.uint16)[:total_b].copy()
+        channel_data, stream_b = _unpack_channels(head[b], stream_b, prog)
         out.append(
             CompressedImage(
                 metadata=meta,
                 channel_data=list(channel_data) + [None] * (3 - C),
                 quality=opts.quality.value,
-                num_lanes=nl,
+                num_lanes=prog.nl,
                 quantization_matrix=np.asarray(qm, dtype=np.uint16),
                 mode=opts.mode,
+                stream=stream_b,
             )
         )
+    return out
+
+
+def encode_pipeline_jax_batch(
+    images: List[RasterImage], opts: EncoderOptions
+) -> List[CompressedImage]:
+    """Encode a batch of SAME-SHAPE images in one device dispatch + fetch."""
+    prog, packed_dev, qm = _encode_dispatch(images, opts)
+    return _encode_finish(prog, packed_dev, qm, images[0].metadata, opts)
+
+
+def encode_pipeline_jax_stream(
+    images: List[RasterImage], opts: EncoderOptions, batch_size: int = 8
+) -> List[CompressedImage]:
+    """Host/device-pipelined encode over same-shape images (the
+    pipeline-parallel analog of SURVEY.md section 2.3: the reference's
+    stage machine is strictly sequential, encoder.rs:19-48; here batch
+    i+1's device compute overlaps batch i's fetch + host mux via JAX's
+    async dispatch — classic double buffering)."""
+    out: List[CompressedImage] = []
+    pending = None  # (prog, packed_dev, qm, meta)
+    for i in range(0, len(images), batch_size):
+        chunk = images[i : i + batch_size]
+        prog, dev, qm = _encode_dispatch(chunk, opts)  # async launch
+        if pending is not None:
+            out.extend(_encode_finish(*pending, opts))
+        pending = (prog, dev, qm, chunk[0].metadata)
+    if pending is not None:
+        out.extend(_encode_finish(*pending, opts))
     return out
 
 
@@ -560,8 +602,11 @@ def encode_pipeline_jax(image: RasterImage, opts: EncoderOptions) -> CompressedI
     return encode_pipeline_jax_batch([image], opts)[0]
 
 
-def decode_pipeline_jax_batch(images: List[CompressedImage]) -> List[RasterImage]:
-    """Decode a batch of SAME-SHAPE compressed images in one dispatch."""
+def decode_pipeline_jax_batch(
+    images: List[CompressedImage], _defer: bool = False
+) -> List[RasterImage]:
+    """Decode a batch of SAME-SHAPE compressed images in one dispatch.
+    _defer=True returns the un-fetched device pixels (stream pipelining)."""
     meta = images[0].metadata
     C = meta.num_channels
     B = len(images)
@@ -574,19 +619,19 @@ def decode_pipeline_jax_batch(images: List[CompressedImage]) -> List[RasterImage
 
     maxw = 1
     for im in images:
-        for c in range(C):
-            for wds in im.channel_data[c].lane_words:
-                maxw = max(maxw, int(wds.shape[0]))
+        maxw = max(maxw, int(np.asarray(im.stream).shape[0]))
     Wpad = _next_pow2(max(64, maxw))
 
     bits = np.zeros((B, C, CONTEXT_AMOUNT), dtype=np.int32)
     offpk = np.zeros((B, C, CONTEXT_AMOUNT, ALPHABET_SIZE // 32), dtype=np.uint32)
     states = np.zeros((B, C, nl), dtype=np.uint32)
-    words = np.zeros((B, C, nl, Wpad), dtype=np.uint16)
+    streams = np.zeros((B, Wpad), dtype=np.uint16)
     vparams = np.zeros((B, C, 3, 6), dtype=np.float32)
     wparams = np.zeros((B, C, 3, 6), dtype=np.float32)
 
     for b, im in enumerate(images):
+        st = np.asarray(im.stream, dtype=np.uint16)
+        streams[b, : st.shape[0]] = st
         for c in range(C):
             cd = im.channel_data[c]
             for k, t in enumerate(cd.ans_contexts):
@@ -599,8 +644,6 @@ def decode_pipeline_jax_batch(images: List[CompressedImage]) -> List[RasterImage
                         np.uint32(1) << (off % 32).astype(np.uint32),
                     )
             states[b, c] = np.asarray(cd.lane_states, dtype=np.uint32)
-            for l, wds in enumerate(cd.lane_words):
-                words[b, c, l, : wds.shape[0]] = wds
             vparams[b, c] = np.asarray(
                 cd.value_prediction_parameters, dtype=np.float32
             )
@@ -611,23 +654,53 @@ def decode_pipeline_jax_batch(images: List[CompressedImage]) -> List[RasterImage
     qm = np.asarray(images[0].quantization_matrix, dtype=np.int32)
     qdiv = jnp.asarray(_qdiv_array(qm, BASE_FRAC_DEPTH))
 
-    pixels = np.asarray(
-        prog.decode_exec(
-            jnp.asarray(states),
-            jnp.asarray(words),
-            jnp.asarray(bits),
-            jnp.asarray(offpk),
-            jnp.asarray(vparams),
-            jnp.asarray(wparams),
-            qdiv,
-        )
-    )  # ONE fetch [B, C, HW]
+    pixels_dev = prog.decode_exec(
+        jnp.asarray(states),
+        jnp.asarray(streams),
+        jnp.asarray(bits),
+        jnp.asarray(offpk),
+        jnp.asarray(vparams),
+        jnp.asarray(wparams),
+        qdiv,
+    )  # async launch; np.asarray below is the ONE fetch
+    if _defer:
+        return pixels_dev, meta, C
+    pixels = np.asarray(pixels_dev)
     return [
         RasterImage(
             metadata=im.metadata,
             data=pixels[b].T.reshape(meta.height, meta.width, C),
         )
         for b, im in enumerate(images)
+    ]
+
+
+def decode_pipeline_jax_stream(
+    images: List[CompressedImage], batch_size: int = 8
+) -> List[RasterImage]:
+    """Host/device-pipelined decode (double buffering, see
+    encode_pipeline_jax_stream)."""
+    out: List[RasterImage] = []
+    pending = None  # (pixels_dev, meta, C, count)
+    for i in range(0, len(images), batch_size):
+        chunk = images[i : i + batch_size]
+        dev, meta, C = decode_pipeline_jax_batch(chunk, _defer=True)
+        if pending is not None:
+            out.extend(_decode_finish(*pending))
+        pending = (dev, meta, C)
+    if pending is not None:
+        out.extend(_decode_finish(*pending))
+    return out
+
+
+def _decode_finish(pixels_dev, meta, C) -> List[RasterImage]:
+    pixels = np.asarray(pixels_dev)
+    return [
+        RasterImage(
+            metadata=meta,
+            data=pixels[b].T.reshape(meta.height, meta.width, C),
+        )
+        for b in range(pixels.shape[0])
     ]
 
 

@@ -29,6 +29,7 @@ from ..fractal.geometry import get_geometry
 from ..fractal.schedule import (
     get_schedule,
     get_lane_steps,
+    get_stream_perm,
     default_num_lanes,
 )
 from ..modeling import fit_predictors_np
@@ -39,7 +40,7 @@ from ..ops.lifting import (
     dequantize_np,
 )
 from ..ops.prediction import contexts_np, gather_neighbour_values
-from ..ops.rans import LaneDecoder, encode_lanes
+from ..ops.rans import StreamDecoder, build_stream, encode_lanes
 from ..metrics import get_metrics
 from ..utils import pack_signed, unpack_signed
 from .options import EncoderOptions, quantization_matrix
@@ -61,6 +62,8 @@ def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedIm
 
     hf = ~sched.sched_lf
     channel_data: List[ChannelData] = []
+    word_grids: List[np.ndarray] = []
+    flag_grids: List[np.ndarray] = []
     for ch in range(C):
         # --- learned predictor fit on HF slots (context_modeling.rs:204-213)
         vals_hf = gather_neighbour_values(qflat[ch], sched.sched_nbr[hf])
@@ -95,19 +98,20 @@ def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedIm
         cdfs = np.stack([c.cdf for c in contexts])
         bits = np.asarray([c.max_freq_bits for c in contexts], dtype=np.int32)
 
-        states, words = encode_lanes(
+        states, word_grid, flag_grid = encode_lanes(
             symbols.astype(np.uint32), buckets.astype(np.int32), freqs, cdfs, bits, nl
         )
+        word_grids.append(word_grid)
+        flag_grids.append(flag_grid)
 
         # observability (replaces prediction.rs:300 ./mse side files and
         # entropy_coding.rs:337-340 bpp prints; see frave_tpu/metrics.py)
         m = get_metrics()
         m.verbose = m.verbose or opts.verbose
         m.record(f"encode/mean_abs_residual_ch{ch}", float(np.abs(residuals).mean()))
-        total_words = int(sum(w.shape[0] for w in words))
         m.record(
             f"encode/bpp_ch{ch}",
-            16.0 * total_words / (meta.height * meta.width),
+            16.0 * int(flag_grid.sum()) / (meta.height * meta.width),
         )
         if opts.emit_coefficients:
             for b, ctx in enumerate(contexts):
@@ -130,12 +134,13 @@ def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedIm
                     for c in contexts
                 ],
                 lane_states=states,
-                lane_words=words,
                 value_prediction_parameters=vparams,
                 width_prediction_parameters=wparams,
             )
         )
 
+    perm = get_stream_perm(meta.height, meta.width, nl, mode=opts.mode, channels=C)
+    stream = build_stream(word_grids, flag_grids, perm)
     return CompressedImage(
         metadata=meta,
         channel_data=list(channel_data) + [None] * (3 - C),
@@ -143,6 +148,7 @@ def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedIm
         num_lanes=nl,
         quantization_matrix=np.asarray(qm, dtype=np.uint16),
         mode=opts.mode,
+        stream=stream,
     )
 
 
@@ -154,23 +160,35 @@ def decode_pipeline_np(image: CompressedImage) -> RasterImage:
     n_slots = geo.num_coef_slots
 
     qflat = np.zeros((C, n_slots), dtype=np.int64)
-    decoders = []
     vparams = []
     wparams = []
     from .container import ensure_tables
 
+    all_freqs, all_cdfs, all_bits = [], [], []
+    all_states = []
     for ch in range(C):
         cd = image.channel_data[ch]
         ensure_tables(cd.ans_contexts)
-        freqs = np.stack([c.freqs for c in cd.ans_contexts])
-        cdfs = np.stack([c.cdf for c in cd.ans_contexts])
-        bits = np.asarray([c.max_freq_bits for c in cd.ans_contexts], dtype=np.int32)
-        decoders.append(LaneDecoder(cd.lane_states, cd.lane_words, freqs, cdfs, bits))
+        all_freqs.append(np.stack([c.freqs for c in cd.ans_contexts]))
+        all_cdfs.append(np.stack([c.cdf for c in cd.ans_contexts]))
+        all_bits.append(
+            np.asarray([c.max_freq_bits for c in cd.ans_contexts], dtype=np.int32)
+        )
+        all_states.append(np.asarray(cd.lane_states, dtype=np.uint32))
         vparams.append(np.asarray(cd.value_prediction_parameters, dtype=np.float32))
         wparams.append(np.asarray(cd.width_prediction_parameters, dtype=np.float32))
 
+    decoder = StreamDecoder(
+        np.stack(all_states),
+        np.asarray(image.stream, dtype=np.uint16),
+        np.stack(all_freqs),
+        np.stack(all_cdfs),
+        np.stack(all_bits),
+    )
+
     # Level-synchronous wavefront decode: each step advances all lanes of
-    # every channel once (SURVEY.md section 3.2's wavefront made explicit).
+    # every channel once (SURVEY.md section 3.2's wavefront made explicit);
+    # channels advance in ascending order — the global stream's word order.
     for s in range(steps.num_steps):
         coef_slots = steps.step_coef[s].astype(np.int64)  # [NL]
         active = coef_slots >= 0
@@ -181,7 +199,7 @@ def decode_pipeline_np(image: CompressedImage) -> RasterImage:
             vals = gather_neighbour_values(qflat[ch], nbr)
             buckets, preds = contexts_np(vals, lf, group, vparams[ch], wparams[ch])
             bk = np.where(active, buckets.astype(np.int64), -1)
-            syms = decoders[ch].decode_step(bk)
+            syms = decoder.decode_step(ch, bk)
             residuals = unpack_signed(syms)
             values = residuals + preds.astype(np.int64)
             qflat[ch][coef_slots[active]] = values[active]

@@ -306,3 +306,56 @@ def get_lane_steps(
         with _lock:
             _lane_cache[key] = s
     return s
+
+
+def build_stream_perm(steps: LaneSteps, channels: int) -> np.ndarray:
+    """Static permutation mapping global-stream position -> source index.
+
+    The rANS word stream is stored in DECODE order: for each wavefront
+    step, for each channel, for each active lane (ascending), at most one
+    word. The encoder emits words indexed by the [R, C, NL] symbol grid
+    (row r = symbols [r*NL, (r+1)*NL)); by rANS renorm symmetry the word
+    emitted while ENCODING symbol k is exactly the word pulled while
+    DECODING symbol k, so the stream order is the static map below and no
+    per-lane word counts need to travel in the container.
+
+    Returns perm [K * channels] int32: perm[j] is the flat index into the
+    row-major [R, C, NL] grid whose word (if flagged) occupies stream
+    slot rank j among flagged entries.
+    """
+    nl = steps.nl
+    valid = steps.step_slot >= 0  # [S, NL]
+    s_idx, l_idx = np.nonzero(valid)  # (s, lane)-ordered
+    k = steps.step_slot[valid].astype(np.int64)
+    r = k // nl
+    lane = k % nl
+    assert np.array_equal(lane, l_idx)
+    C = channels
+    K = k.shape[0]
+    src = ((r[:, None] * C + np.arange(C)[None, :]) * nl + lane[:, None]).reshape(-1)
+    sS = np.repeat(s_idx, C)
+    cC = np.tile(np.arange(C), K)
+    lL = np.repeat(lane, C)
+    order = np.lexsort((lL, cC, sS))  # sort by (step, channel, lane)
+    return src[order].astype(np.int32)
+
+
+_perm_cache: Dict[Tuple[int, int, int, int, str, int], np.ndarray] = {}
+
+
+def get_stream_perm(
+    height: int,
+    width: int,
+    nl: int,
+    depth: int = BASE_FRAC_DEPTH,
+    mode: str = "parallel",
+    channels: int = 1,
+) -> np.ndarray:
+    key = (height, width, nl, depth, mode, channels)
+    with _lock:
+        p = _perm_cache.get(key)
+    if p is None:
+        p = build_stream_perm(get_lane_steps(height, width, nl, depth, mode), channels)
+        with _lock:
+            _perm_cache[key] = p
+    return p

@@ -123,16 +123,16 @@ class AnsContextTables:
 
 @dataclasses.dataclass
 class ChannelData:
-    """Per-channel compressed payload (reference images.rs:114-119).
+    """Per-channel compressed metadata (reference images.rs:114-119).
 
-    Instead of one opaque rANS byte blob, the TPU format stores per-lane
-    final states and word streams (see frave_tpu/ops/rans.py for the lane
-    layout rationale).
+    The entropy-coded words themselves live in the image-level global
+    stream (CompressedImage.stream, decode order — see
+    frave_tpu/ops/rans.py); per channel only the per-lane final states
+    and the context/predictor wire fields remain.
     """
 
     ans_contexts: List[AnsContextTables]
     lane_states: np.ndarray  # [NL] u32 final encoder states
-    lane_words: List[np.ndarray]  # per-lane u16 arrays, decode order
     value_prediction_parameters: np.ndarray  # [3, 6] f32
     width_prediction_parameters: np.ndarray  # [3, 6] f32
 
@@ -147,3 +147,4 @@ class CompressedImage:
     num_lanes: int = 0
     quantization_matrix: Optional[np.ndarray] = None  # [32] u16
     mode: str = "parallel"  # context-model mode (see EncoderOptions.mode)
+    stream: Optional[np.ndarray] = None  # [W] u16 global word stream

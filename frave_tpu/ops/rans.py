@@ -17,14 +17,19 @@ Design (TPU-native redesign of entropy_coding.rs:161-352):
   * Encode pushes each lane's symbols in reverse schedule order
     (LIFO, like the reference's reversed put_at, entropy_coding.rs:332-334)
     and is vectorized over lanes as a reverse scan over the [R, NL] symbol
-    grid.
-
-Wire format per lane: final encoder state (u32) + words in decode order.
+    grid, emitting a word grid + flag grid.
+  * Wire format: ONE global word stream per image, in DECODE order — for
+    each wavefront step, for each channel, for each active lane, at most
+    one word. By rANS renorm symmetry the word emitted while encoding
+    symbol k is the word pulled while decoding symbol k, so the stream
+    order is a static permutation of the emission grid
+    (frave_tpu/fractal/schedule.build_stream_perm) and no per-lane word
+    counts travel in the container.
 """
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 
@@ -34,21 +39,23 @@ RANS_L = 1 << 16  # lower bound of the normalized state interval
 def build_symbol_grid(values: np.ndarray, nl: int, pad=0) -> np.ndarray:
     """[K] -> [R, NL] row-major grid, padded with `pad` (invalid slots)."""
     k = values.shape[0]
-    r = -(-k // nl)
-    out = np.full(r * nl, pad, dtype=values.dtype)
+    r = -(-k // nl) if k else 0
+    out = np.full(max(r, 1) * nl, pad, dtype=values.dtype)
     out[:k] = values
-    return out.reshape(r, nl)
+    return out.reshape(max(r, 1), nl)
 
 
 def encode_lanes(
     symbols: np.ndarray,  # [K] uint32 zig-zag symbols in schedule order
     buckets: np.ndarray,  # [K] int32 context bucket per symbol
-    freqs: np.ndarray,  # [10, 1024] uint32
-    cdfs: np.ndarray,  # [10, 1024] uint32
-    scale_bits: np.ndarray,  # [10] int32
+    freqs: np.ndarray,  # [CA, 1024] uint32
+    cdfs: np.ndarray,  # [CA, 1024] uint32
+    scale_bits: np.ndarray,  # [CA] int32
     nl: int,
-) -> Tuple[np.ndarray, List[np.ndarray]]:
-    """Returns (final_states [NL] u32, per-lane word arrays in decode order)."""
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (final_states [NL] u32, word_grid [R, NL] u16,
+    flag_grid [R, NL] bool). word_grid[r, l] is the word emitted while
+    encoding symbol r*NL+l (valid where flagged)."""
     K = symbols.shape[0]
     sym_g = build_symbol_grid(symbols.astype(np.int64), nl)
     bkt_g = build_symbol_grid(buckets.astype(np.int64), nl)
@@ -56,7 +63,8 @@ def encode_lanes(
     R = sym_g.shape[0]
 
     x = np.full(nl, RANS_L, dtype=np.uint64)
-    emitted: List[List[int]] = [[] for _ in range(nl)]  # emission order per lane
+    word_grid = np.zeros((R, nl), dtype=np.uint16)
+    flag_grid = np.zeros((R, nl), dtype=bool)
 
     f = freqs.astype(np.uint64)
     c = cdfs.astype(np.uint64)
@@ -76,62 +84,72 @@ def encode_lanes(
             )
         x_max = fr << (np.uint64(32) - bi)
         emit = v & (x >= x_max)
-        for lane in np.nonzero(emit)[0]:
-            emitted[lane].append(int(x[lane] & np.uint64(0xFFFF)))
+        word_grid[r] = (x & np.uint64(0xFFFF)).astype(np.uint16)
+        flag_grid[r] = emit
         x = np.where(emit, x >> np.uint64(16), x)
         x_new = ((x // fr) << bi) + (x % fr) + cd
         x = np.where(v, x_new, x)
 
-    states = x.astype(np.uint32)
-    # decode consumes words in reverse emission order
-    words = [np.asarray(list(reversed(e)), dtype=np.uint16) for e in emitted]
-    return states, words
+    return x.astype(np.uint32), word_grid, flag_grid
 
 
-class LaneDecoder:
-    """Stateful vectorized decoder: one decode_step per wavefront chunk.
+def build_stream(
+    word_grids: Sequence[np.ndarray],  # per channel [R, NL] u16
+    flag_grids: Sequence[np.ndarray],  # per channel [R, NL] bool
+    perm: np.ndarray,  # [K * C] int32 (schedule.build_stream_perm)
+) -> np.ndarray:
+    """Compact per-channel emission grids into the global decode-order
+    stream."""
+    C = len(word_grids)
+    words = np.stack(word_grids, axis=1).reshape(-1)  # [R, C, NL] row-major
+    flags = np.stack(flag_grids, axis=1).reshape(-1)
+    wp = words[perm]
+    fp = flags[perm]
+    return wp[fp].astype(np.uint16)
 
-    All lanes advance independently; a step supplies, for each lane, the
-    bucket to decode under (or -1 for inactive lanes).
+
+class StreamDecoder:
+    """Stateful vectorized decoder over the single global stream.
+
+    Per wavefront step, channels MUST be advanced in ascending order
+    (decode_step(ch, ...) for ch = 0..C-1) — that is the stream's word
+    order. All lanes of one (step, channel) advance at once.
     """
 
     def __init__(
         self,
-        states: np.ndarray,  # [NL] u32
-        words: List[np.ndarray],  # per-lane u16, decode order
-        freqs: np.ndarray,
+        states: np.ndarray,  # [C, NL] u32
+        stream: np.ndarray,  # [W] u16 global stream
+        freqs: np.ndarray,  # [C, CA, 1024]
         cdfs: np.ndarray,
-        scale_bits: np.ndarray,
+        scale_bits: np.ndarray,  # [C, CA]
     ):
-        self.nl = states.shape[0]
-        self.x = states.astype(np.uint64)
-        maxw = max((w.shape[0] for w in words), default=0)
-        self.words = np.zeros((self.nl, max(maxw, 1)), dtype=np.uint64)
-        for i, w in enumerate(words):
-            self.words[i, : w.shape[0]] = w
-        self.ptr = np.zeros(self.nl, dtype=np.int64)
+        self.x = states.astype(np.uint64).copy()
+        self.stream = stream.astype(np.uint64)
+        self.gptr = 0
         self.freqs = freqs.astype(np.uint64)
         self.cdfs = cdfs.astype(np.uint64)
         self.scale_bits = scale_bits.astype(np.uint64)
 
-    def decode_step(self, buckets: np.ndarray) -> np.ndarray:
+    def decode_step(self, ch: int, buckets: np.ndarray) -> np.ndarray:
         """buckets: [NL] int64, -1 = inactive. Returns symbols [NL] int64
         (undefined where inactive)."""
+        x = self.x[ch]
         active = buckets >= 0
         k = np.where(active, buckets, 0)
-        bi = self.scale_bits[k]
+        bi = self.scale_bits[ch][k]
         mask = (np.uint64(1) << bi) - np.uint64(1)
-        slot = self.x & mask
-        # last symbol s with cdf[k, s] <= slot (duplicate-cdf semantics of
-        # the reference's linear walk, entropy_coding.rs:246-255)
-        cdf_rows = self.cdfs[k]  # [NL, 1024]
+        slot = x & mask
+        cdf_rows = self.cdfs[ch][k]  # [NL, 1024]
         sym = np.sum(cdf_rows <= slot[:, None], axis=1).astype(np.int64) - 1
-        fr = self.freqs[k, sym]
-        cd = self.cdfs[k, sym]
-        x_new = fr * (self.x >> bi) + slot - cd
+        fr = self.freqs[ch][k, sym]
+        cd = self.cdfs[ch][k, sym]
+        x_new = fr * (x >> bi) + slot - cd
         need = active & (x_new < RANS_L)
-        w = self.words[np.arange(self.nl), np.minimum(self.ptr, self.words.shape[1] - 1)]
+        offs = np.cumsum(need) - 1
+        idx = np.clip(self.gptr + offs, 0, max(self.stream.shape[0] - 1, 0))
+        w = self.stream[idx] if self.stream.size else np.zeros(len(idx), np.uint64)
         x_new = np.where(need, (x_new << np.uint64(16)) | w, x_new)
-        self.ptr = np.where(need, self.ptr + 1, self.ptr)
-        self.x = np.where(active, x_new, self.x)
+        self.gptr += int(need.sum())
+        self.x[ch] = np.where(active, x_new, x)
         return sym

@@ -116,39 +116,45 @@ def encode_scan(
     return final_x, words, flags
 
 
-def decode_step_symbols(
-    x: jnp.ndarray,  # [..., NL] uint32 lane states
-    ptr: jnp.ndarray,  # [..., NL] int32 word pointers
-    buckets: jnp.ndarray,  # [..., NL] int32
-    active: jnp.ndarray,  # [..., NL] bool
-    words: jnp.ndarray,  # [..., NL, W] uint16 padded word streams
-    lut: jnp.ndarray,  # [..., 10, 2**LUT_BITS] int16
-    freqs: jnp.ndarray,  # [..., 10, 1024] uint32
-    cdfs: jnp.ndarray,  # [..., 10, 1024] uint32
-    scale_bits: jnp.ndarray,  # [..., 10] int32
+def stream_compact(
+    words: jnp.ndarray,  # [R, C, NL] uint16 emission grid
+    flags: jnp.ndarray,  # [R, C, NL] bool
+    perm: jnp.ndarray,  # [K * C] int32 (schedule.build_stream_perm)
 ):
-    """One decode step for all lanes. Returns (sym [..., NL] int32, x', ptr')."""
-    lanes_shape = x.shape
+    """Device-side global-stream compaction: reorder emissions into decode
+    order by the static perm, then pack flagged words densely.
+    Returns (stream [K*C] uint16 zero-padded tail, total int32)."""
+    kc = perm.shape[0]
+    wflat = words.reshape(-1)[perm]
+    fflat = flags.reshape(-1)[perm]
+    fi = fflat.astype(jnp.int32)
+    pos = jnp.cumsum(fi) - 1
+    idx = jnp.where(fflat, pos, kc)
+    stream = (
+        jnp.zeros(kc + 1, jnp.uint16).at[idx].set(wflat, mode="drop")[:kc]
+    )
+    return stream, jnp.sum(fi)
 
+
+def decode_step_stream(
+    x: jnp.ndarray,  # [C, NL] uint32 lane states
+    gptr: jnp.ndarray,  # scalar int32 global stream pointer
+    buckets: jnp.ndarray,  # [C, NL] int32
+    active: jnp.ndarray,  # [C, NL] bool
+    stream: jnp.ndarray,  # [W] uint16 global word stream
+    lut: jnp.ndarray,  # [C, CA, 2**LUT_BITS] int
+    freqs: jnp.ndarray,  # [C, CA, 1024] uint32
+    cdfs: jnp.ndarray,  # [C, CA, 1024] uint32
+    scale_bits: jnp.ndarray,  # [C, CA] int32
+):
+    """One decode step for all channels x lanes against the global
+    stream. Word order within the step: channel-major, lane-minor — must
+    match schedule.build_stream_perm. Returns (sym [C, NL] i32, x', gptr')."""
     bkt = jnp.clip(buckets, 0, CONTEXT_AMOUNT - 1).astype(jnp.int32)
 
-    def g_bits(tab, bk):
-        return tab[bk]
-
-    def g_lut(tab, bk, sl):
-        return tab[bk, sl]
-
-    def g_tab(tab, bk, sm):
-        return tab[bk, sm]
-
-    def g_word(w, p):
-        return w[jnp.arange(w.shape[0]), p]
-
-    for _ in range(len(lanes_shape) - 1):
-        g_bits = jax.vmap(g_bits)
-        g_lut = jax.vmap(g_lut)
-        g_tab = jax.vmap(g_tab)
-        g_word = jax.vmap(g_word)
+    g_bits = jax.vmap(lambda tab, bk: tab[bk])
+    g_lut = jax.vmap(lambda tab, bk, sl: tab[bk, sl])
+    g_tab = jax.vmap(lambda tab, bk, sm: tab[bk, sm])
 
     bi = g_bits(scale_bits.astype(jnp.uint32), bkt)
     mask = (jnp.uint32(1) << bi) - jnp.uint32(1)
@@ -159,9 +165,10 @@ def decode_step_symbols(
     cd = g_tab(cdfs.astype(jnp.uint32), bkt, sym)
     x_new = fr * (x >> bi) + slot - cd
     need = active & (x_new < jnp.uint32(RANS_L))
-    p_safe = jnp.clip(ptr, 0, words.shape[-1] - 1)
-    w = g_word(words, p_safe).astype(jnp.uint32)
+    nf = need.reshape(-1).astype(jnp.int32)
+    pos = jnp.cumsum(nf) - 1  # channel-major, lane-minor ordering
+    idx = jnp.clip(gptr + pos, 0, stream.shape[0] - 1)
+    w = stream[idx].reshape(need.shape).astype(jnp.uint32)
     x_new = jnp.where(need, (x_new << jnp.uint32(WORD_BITS)) | w, x_new)
-    ptr_next = jnp.where(need, ptr + 1, ptr)
     x_next = jnp.where(active, x_new, x)
-    return sym, x_next, ptr_next
+    return sym, x_next, gptr + jnp.sum(nf)

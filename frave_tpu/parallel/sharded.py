@@ -49,27 +49,12 @@ from ..images import (
 )
 from ..entropy.tables import ALPHABET_SIZE, CONTEXT_AMOUNT, context_from_histogram
 from ..fractal.geometry import BASE_FRAC_DEPTH, get_geometry
-from ..fractal.schedule import default_num_lanes, get_schedule
+from ..fractal.schedule import default_num_lanes, get_schedule, get_stream_perm
+from ..ops.rans import build_stream
 from ..ops import jax_ops as J
 from ..ops.rans_jax import encode_scan
 from ..codec.options import EncoderOptions, quantization_matrix
 from ..codec.pipeline_jax import _gram_solve
-
-
-def _compact_words(words: np.ndarray, flags: np.ndarray):
-    """[R, C, NL] u16 + bool -> per-channel list of per-lane streams in
-    decode order (increasing r of flagged rows). Host-side fallback for
-    the sharded path (the single-chip program compacts on device)."""
-    R, C, NL = flags.shape
-    out = []
-    for c in range(C):
-        lanes = []
-        f = flags[:, c, :]
-        w = words[:, c, :]
-        for l in range(NL):
-            lanes.append(w[f[:, l], l].astype(np.uint16))
-        out.append(lanes)
-    return out
 
 
 def _pad_to(x: np.ndarray, size: int, fill, axis: int = 0) -> np.ndarray:
@@ -342,16 +327,23 @@ class ShardedEncoder:
         )
 
         states_np = np.asarray(states)
-        words_np = np.asarray(words)
+        words_np = np.asarray(words)  # [R, B, C, NL]
         flags_np = np.asarray(flags)
         vp_np = np.asarray(vparams)
         wp_np = np.asarray(wparams)
+        perm = get_stream_perm(
+            self.height, self.width, nl, self.depth, self.mode, C
+        )
 
         cs = ColorSpace.LUMA if C == 1 else ColorSpace.RGB
         meta = ImageMetadata(height=self.height, width=self.width, colorspace=cs)
         out: List[bytes] = []
         for b in range(B):
-            streams = _compact_words(words_np[:, b], flags_np[:, b])
+            stream = build_stream(
+                [words_np[:, b, c] for c in range(C)],
+                [flags_np[:, b, c] for c in range(C)],
+                perm,
+            )
             channel_data = []
             for c in range(C):
                 channel_data.append(
@@ -366,7 +358,6 @@ class ShardedEncoder:
                             for t in tables[b][c]
                         ],
                         lane_states=states_np[b, c].astype(np.uint32),
-                        lane_words=streams[c],
                         value_prediction_parameters=vp_np[b, c],
                         width_prediction_parameters=wp_np[b, c],
                     )
@@ -380,6 +371,7 @@ class ShardedEncoder:
                         num_lanes=nl,
                         quantization_matrix=np.asarray(qm, dtype=np.uint16),
                         mode=self.mode,
+                        stream=stream,
                     )
                 )
             )

@@ -154,3 +154,30 @@ def test_parallel_mode_fewer_steps():
     par = get_lane_steps(64, 64, 64, mode="parallel")
     ref = get_lane_steps(64, 64, 64, mode="parity")
     assert par.num_steps < ref.num_steps / 2
+
+
+def test_stream_pipelined_roundtrip():
+    """Host/device double-buffered stream APIs (the PP analog)."""
+    from frave_tpu.codec.container import deserialize, serialize
+    from frave_tpu.codec.pipeline_jax import (
+        decode_pipeline_jax_stream,
+        encode_pipeline_jax_stream,
+    )
+
+    imgs = [_natural_image(32, 40, 1, seed=s) for s in range(10)]
+    comp = encode_pipeline_jax_stream(imgs, EncoderOptions(backend="jax"), batch_size=4)
+    assert len(comp) == 10
+    blobs = [serialize(c) for c in comp]
+    outs = decode_pipeline_jax_stream([deserialize(b) for b in blobs], batch_size=4)
+    for im, out in zip(imgs, outs):
+        np.testing.assert_array_equal(out.data, im.data)
+
+
+def test_channel_transform_stage():
+    from frave_tpu.codec import channel_transform as ct
+
+    img = _natural_image(16, 16, 3, seed=1)
+    assert ct.forward(img, ColorSpace.RGB) is img
+    assert ct.inverse(img) is img
+    with pytest.raises(NotImplementedError):
+        ct.forward(img, ColorSpace.YCBCR)
