@@ -157,6 +157,25 @@ class CodecProgram:
             put(_LAPLACE_ROWS.astype(np.uint32)),  # lap rows [10, 7, 1024]
         )
         self._lap = self._enc_args[-1]
+        # static per-group HF k-ranges: the schedule orders symbols by
+        # phase/level, so each predictor group occupies one contiguous
+        # range — the Gram matrices reduce over static slices (MXU dots)
+        # instead of materializing masked [C, K, 6] design matrices.
+        hf_np = ~sched.sched_lf
+        grp_np = sched.sched_group.astype(np.int32)
+        self._group_ranges = []
+        for g in range(3):
+            idx = np.nonzero(hf_np & (grp_np == g))[0]
+            if idx.size == 0:
+                self._group_ranges.append((0, 0))
+                continue
+            lo, hi = int(idx.min()), int(idx.max()) + 1
+            if idx.size != hi - lo:
+                raise AssertionError(
+                    f"predictor group {g} not contiguous in schedule"
+                )
+            self._group_ranges.append((lo, hi))
+        group_ranges = self._group_ranges
         from ..fractal.schedule import get_stream_perm
 
         self._perm = put(
@@ -193,37 +212,44 @@ class CodecProgram:
 
             vals = qpad[:, snbr_safe]  # [C, K, 6]
             target = qpad[:, sc]  # [C, K]
-            hf = ~slf
 
-            # --- value-predictor fit: per-group f32 Gram + Cholesky solve
-            Xf = vals.astype(jnp.float32)
-            yf = target.astype(jnp.float32)
-            gmask = jnp.stack(
-                [(hf & (sgrp == g)).astype(jnp.float32) for g in range(3)]
-            )  # [3, K]
-            Xg = Xf[:, None, :, :] * gmask[None, :, :, None]  # [C, 3, K, 6]
-            G = jnp.einsum("cgkx,cky->cgxy", Xg, Xf)
-            bv = jnp.einsum("cgkx,ck->cgx", Xg, yf)
+            # --- predictor fits: per-group Gram over STATIC k-slices
+            # (groups are contiguous in schedule order — no masked design
+            # matrices, the reductions go straight to the MXU)
+            def feats(Xs):
+                return jnp.stack(
+                    [
+                        jnp.ones(Xs.shape[:-1], Xs.dtype),
+                        jnp.abs(Xs[..., 0] - Xs[..., 3]),
+                        jnp.abs(Xs[..., 1] - Xs[..., 2]),
+                        jnp.abs(Xs[..., 4] - Xs[..., 5]),
+                        jnp.abs(Xs[..., 1] - Xs[..., 5]),
+                        jnp.abs(Xs[..., 2] - Xs[..., 4]),
+                    ],
+                    axis=-1,
+                )
+
+            Gs, bs = [], []
+            for (lo, hi) in group_ranges:
+                Xs = vals[:, lo:hi].astype(jnp.float32)  # [C, kg, 6]
+                ys = target[:, lo:hi].astype(jnp.float32)
+                Gs.append(jnp.einsum("ckx,cky->cxy", Xs, Xs))
+                bs.append(jnp.einsum("ckx,ck->cx", Xs, ys))
+            G = jnp.stack(Gs, axis=1)  # [C, 3, 6, 6]
+            bv = jnp.stack(bs, axis=1)
             vparams = _gram_solve(G, bv)  # [C, 3, 6]
 
-            # --- width-predictor fit on [1, 5 gradient features]
-            vp_by_k = vparams[:, sgrp, :]  # [C, K, 6]
-            pred_fit = jnp.sum(Xf * vp_by_k, axis=-1)
-            r = jnp.abs(yf - pred_fit)
-            F = jnp.stack(
-                [
-                    jnp.ones_like(yf),
-                    jnp.abs(Xf[..., 0] - Xf[..., 3]),
-                    jnp.abs(Xf[..., 1] - Xf[..., 2]),
-                    jnp.abs(Xf[..., 4] - Xf[..., 5]),
-                    jnp.abs(Xf[..., 1] - Xf[..., 5]),
-                    jnp.abs(Xf[..., 2] - Xf[..., 4]),
-                ],
-                axis=-1,
-            )
-            Fg = F[:, None, :, :] * gmask[None, :, :, None]
-            Gw = jnp.einsum("cgkx,cky->cgxy", Fg, F)
-            bw = jnp.einsum("cgkx,ck->cgx", Fg, r)
+            Gws, bws = [], []
+            for g, (lo, hi) in enumerate(group_ranges):
+                Xs = vals[:, lo:hi].astype(jnp.float32)
+                ys = target[:, lo:hi].astype(jnp.float32)
+                pred_g = jnp.einsum("ckx,cx->ck", Xs, vparams[:, g])
+                rg = jnp.abs(ys - pred_g)
+                Fs = feats(Xs)
+                Gws.append(jnp.einsum("ckx,cky->cxy", Fs, Fs))
+                bws.append(jnp.einsum("ckx,ck->cx", Fs, rg))
+            Gw = jnp.stack(Gws, axis=1)
+            bw = jnp.stack(bws, axis=1)
             wparams = _gram_solve(Gw, bw)
 
             # --- contexts + symbols (parallel over all K on encode)
