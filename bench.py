@@ -46,7 +46,7 @@ def make_corpus(n: int, h: int, w: int, c: int, seed: int = 0) -> np.ndarray:
     return out
 
 
-def bench_jax(corpus: np.ndarray, reps: int = 3) -> float:
+def bench_jax(corpus: np.ndarray, reps: int = 4) -> float:
     """Batched encode -> container bytes -> batched decode, verified."""
     from frave_tpu import EncoderOptions, RasterImage
     from frave_tpu.codec.container import deserialize, serialize

@@ -266,7 +266,7 @@ def default_num_lanes(num_symbols: int) -> int:
     container's u16 count field (R = ceil(K / NL) < 65536)."""
     if num_symbols <= 0:
         return 16
-    target = max(16, min(4096, num_symbols // 256))
+    target = max(16, min(4096, num_symbols // 128))
     nl = 1 << (int(target).bit_length() - 1)
     while -(-num_symbols // nl) > 0xFFFF:
         nl *= 2
