@@ -380,3 +380,46 @@ int fg_build(int height, int width, int depth, int64_t T_expect,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Longest-path (Kahn) layering over a dependency DAG with <= 3 deps/node.
+// deps: [n * 3] int32 node ids or -1. out_wave: [n] int32.
+// Returns 0 on success, 1 on cycle.
+int fg_layer_waves(int64_t n, const int32_t* deps, int32_t* out_wave) {
+  std::vector<int32_t> indeg(n, 0);
+  std::vector<int64_t> head(n, -1);
+  std::vector<int64_t> nxt;   // linked adjacency (successor lists)
+  std::vector<int64_t> succ_node;
+  nxt.reserve(n * 3);
+  succ_node.reserve(n * 3);
+  for (int64_t i = 0; i < n; ++i) {
+    out_wave[i] = 0;
+    for (int d = 0; d < 3; ++d) {
+      int32_t u = deps[i * 3 + d];
+      if (u >= 0) {
+        succ_node.push_back(i);
+        nxt.push_back(head[u]);
+        head[u] = (int64_t)succ_node.size() - 1;
+        ++indeg[i];
+      }
+    }
+  }
+  std::vector<int64_t> q;
+  q.reserve(n);
+  for (int64_t i = 0; i < n; ++i)
+    if (indeg[i] == 0) q.push_back(i);
+  int64_t seen = 0;
+  for (int64_t qi = 0; qi < (int64_t)q.size(); ++qi) {
+    int64_t u = q[qi];
+    ++seen;
+    for (int64_t e = head[u]; e >= 0; e = nxt[e]) {
+      int64_t v = succ_node[e];
+      if (out_wave[u] + 1 > out_wave[v]) out_wave[v] = out_wave[u] + 1;
+      if (--indeg[v] == 0) q.push_back(v);
+    }
+  }
+  return seen == n ? 0 : 1;
+}
+
+}  // extern "C"

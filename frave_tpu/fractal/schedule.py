@@ -41,7 +41,14 @@ def _layer_waves(num_nodes: int, deps: np.ndarray) -> np.ndarray:
 
     Returns wave id per node (0-based). Raises on cycles (geometrically
     impossible for translation-generated causal edges; asserted anyway).
+    Uses the native Kahn implementation (csrc) when built.
     """
+    if deps.shape[1] == 3:
+        from ..native import layer_waves_native
+
+        w = layer_waves_native(deps)
+        if w is not None:
+            return w.astype(np.int64)
     wave = np.full(num_nodes, -1, dtype=np.int64)
     indeg = np.zeros(num_nodes, dtype=np.int64)
     # adjacency: successors
@@ -166,17 +173,21 @@ def build_schedule(geo: FractalGeometry, mode: str = "parallel") -> WavefrontSch
             wave_sizes.append(nL)
             continue
 
-        slot_to_node: Dict[int, int] = {int(s): i for i, s in enumerate(slots)}
         nbr = geo.nbr_idx[slots].astype(np.int64)  # [nL, 6]
         # Causal deps = same-level neighbours that are themselves symbols
         # (mask-true). Mask-false neighbours read as constant 0 on both
-        # sides (unwrap_or(0)) and impose no ordering.
+        # sides (unwrap_or(0)) and impose no ordering. slot -> node via
+        # sorted search (vectorized slot_to_node).
+        order_s = np.argsort(slots, kind="stable")
+        sorted_slots = slots[order_s]
         deps = np.full((nL, 3), -1, dtype=np.int64)
-        for i in range(nL):
-            for k in range(3):
-                s = nbr[i, k]
-                if s >= 0 and flat_mask[s]:
-                    deps[i, k] = slot_to_node[int(s)]
+        for k in range(3):
+            sk = nbr[:, k]
+            present = (sk >= 0) & flat_mask[np.clip(sk, 0, None)]
+            pos = np.searchsorted(sorted_slots, np.clip(sk, 0, None))
+            pos_c = np.minimum(pos, nL - 1)
+            found = present & (sorted_slots[pos_c] == sk)
+            deps[:, k] = np.where(found, order_s[pos_c], -1)
         waves = _layer_waves(nL, deps)
         order = np.lexsort((np.arange(nL), waves))
         slots_o = slots[order]

@@ -33,6 +33,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 lib = ctypes.CDLL(p)
                 lib.fg_num_tiles.restype = ctypes.c_int64
                 lib.fg_num_tiles.argtypes = [ctypes.c_int] * 3
+                lib.fg_layer_waves.restype = ctypes.c_int
+                lib.fg_layer_waves.argtypes = [
+                    ctypes.c_int64,
+                    ctypes.c_void_p,
+                    ctypes.c_void_p,
+                ]
                 lib.fg_build.restype = ctypes.c_int
                 lib.fg_build.argtypes = [
                     ctypes.c_int,
@@ -127,3 +133,21 @@ def build_geometry_native(height: int, width: int, depth: int):
         level_slots=level_slots,
         tile_nbr=tile_nbr,
     )
+
+
+def layer_waves_native(deps):
+    """Native Kahn longest-path layering; deps [n, 3] int32 (-1 absent).
+    Returns int32 waves or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    d = np.ascontiguousarray(deps, dtype=np.int32)
+    n = d.shape[0]
+    assert d.shape == (n, 3)
+    out = np.empty(n, dtype=np.int32)
+    rc = lib.fg_layer_waves(n, d.ctypes.data, out.ctypes.data)
+    if rc != 0:
+        raise AssertionError("cycle in causal dependency graph")
+    return out
