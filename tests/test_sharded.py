@@ -63,3 +63,16 @@ def test_mesh_factorization():
     assert mesh_factorization(8) == (2, 4)
     assert mesh_factorization(16) == (4, 4)
     assert mesh_factorization(64) == (8, 8)
+
+
+def test_sharded_tp_heavy():
+    """Pure tensor-parallel mesh (dp=1, tp=8): all collectives exercised."""
+    from frave_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, shape=(1, 8))
+    batch = _batch(2, 40, 24, 1, seed=9)
+    enc = ShardedEncoder(height=40, width=24, channels=1, batch=2, mesh=mesh)
+    blobs = enc.encode_batch(batch)
+    dec = FRIDecoder(backend="numpy")
+    for i, blob in enumerate(blobs):
+        np.testing.assert_array_equal(dec.decode(blob).data, batch[i])
