@@ -15,8 +15,6 @@ YCBCR on encode raises instead of silently corrupting.
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..images import ColorSpace, RasterImage
 
 

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import threading
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +54,6 @@ from ..entropy.tables import (
     ALPHABET_SIZE,
     CONTEXT_AMOUNT,
     _LAPLACE_ROWS,
-    context_from_wire,
 )
 from ..entropy.tables_jax import finalize_contexts_device
 from ..fractal.geometry import BASE_FRAC_DEPTH, get_geometry

@@ -16,7 +16,6 @@ import numpy as np
 from ..images import (
     ChannelData,
     CompressedImage,
-    ImageMetadata,
     RasterImage,
     AnsContextTables,
 )

@@ -16,11 +16,10 @@ inserts where this spends ~1s in sorts.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 
-from .literals import LITERALS
 from . import geometry as G
 
 _SHIFT = np.int64(1) << 21

@@ -29,7 +29,7 @@ Design (TPU-native redesign of entropy_coding.rs:161-352):
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

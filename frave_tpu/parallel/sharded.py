@@ -25,13 +25,12 @@ one image).
 from __future__ import annotations
 
 import dataclasses
-import threading
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # JAX >= 0.4.35 exposes shard_map at top level
     from jax import shard_map as _shard_map
@@ -43,9 +42,7 @@ from ..images import (
     ChannelData,
     CompressedImage,
     ColorSpace,
-    CompressedImage,
     ImageMetadata,
-    RasterImage,
 )
 from ..entropy.tables import ALPHABET_SIZE, CONTEXT_AMOUNT, context_from_histogram
 from ..fractal.geometry import BASE_FRAC_DEPTH, get_geometry
