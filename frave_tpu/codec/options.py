@@ -62,3 +62,6 @@ class EncoderOptions:
     #       wavefront. Better compression on some content, ~10-20x more
     #       decode steps.
     mode: str = "parallel"
+    # RGB coding transform (codec/channel_transform.py): "auto" (default,
+    # reversible subtract-green), or "none"
+    color_transform: str = "auto"

@@ -541,6 +541,9 @@ def _unpack_channels(
 def _encode_dispatch(images: List[RasterImage], opts: EncoderOptions):
     """Upload + launch the fused encode for one same-shape batch; returns
     (prog, device packed output, qm) without blocking on the result."""
+    from .channel_transform import forward as channel_forward
+
+    images = [channel_forward(im, opts.color_transform) for im in images]
     meta = images[0].metadata
     C = meta.num_channels
     for im in images:
@@ -557,7 +560,7 @@ def _encode_dispatch(images: List[RasterImage], opts: EncoderOptions):
             [im.data.reshape(-1, C).T.astype(np.int32) for im in images]
         )
     )  # [B, C, HW]
-    return prog, prog.encode_exec(pixels, qdiv), qm
+    return prog, prog.encode_exec(pixels, qdiv), qm, meta
 
 
 def _encode_finish(prog, packed_dev, qm, meta, opts) -> List[CompressedImage]:
@@ -598,8 +601,8 @@ def encode_pipeline_jax_batch(
     images: List[RasterImage], opts: EncoderOptions
 ) -> List[CompressedImage]:
     """Encode a batch of SAME-SHAPE images in one device dispatch + fetch."""
-    prog, packed_dev, qm = _encode_dispatch(images, opts)
-    return _encode_finish(prog, packed_dev, qm, images[0].metadata, opts)
+    prog, packed_dev, qm, meta = _encode_dispatch(images, opts)
+    return _encode_finish(prog, packed_dev, qm, meta, opts)
 
 
 def encode_pipeline_jax_stream(
@@ -614,10 +617,10 @@ def encode_pipeline_jax_stream(
     pending = None  # (prog, packed_dev, qm, meta)
     for i in range(0, len(images), batch_size):
         chunk = images[i : i + batch_size]
-        prog, dev, qm = _encode_dispatch(chunk, opts)  # async launch
+        prog, dev, qm, meta = _encode_dispatch(chunk, opts)  # async launch
         if pending is not None:
             out.extend(_encode_finish(*pending, opts))
-        pending = (prog, dev, qm, chunk[0].metadata)
+        pending = (prog, dev, qm, meta)
     if pending is not None:
         out.extend(_encode_finish(*pending, opts))
     return out
@@ -690,11 +693,15 @@ def decode_pipeline_jax_batch(
     )  # async launch; np.asarray below is the ONE fetch
     if _defer:
         return pixels_dev, meta, C
+    from .channel_transform import inverse as channel_inverse
+
     pixels = np.asarray(pixels_dev)
     return [
-        RasterImage(
-            metadata=im.metadata,
-            data=pixels[b].T.reshape(meta.height, meta.width, C),
+        channel_inverse(
+            RasterImage(
+                metadata=im.metadata,
+                data=pixels[b].T.reshape(meta.height, meta.width, C),
+            )
         )
         for b, im in enumerate(images)
     ]
@@ -719,11 +726,15 @@ def decode_pipeline_jax_stream(
 
 
 def _decode_finish(pixels_dev, meta, C) -> List[RasterImage]:
+    from .channel_transform import inverse as channel_inverse
+
     pixels = np.asarray(pixels_dev)
     return [
-        RasterImage(
-            metadata=meta,
-            data=pixels[b].T.reshape(meta.height, meta.width, C),
+        channel_inverse(
+            RasterImage(
+                metadata=meta,
+                data=pixels[b].T.reshape(meta.height, meta.width, C),
+            )
         )
         for b in range(pixels.shape[0])
     ]

@@ -46,6 +46,9 @@ from .options import EncoderOptions, quantization_matrix
 
 
 def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedImage:
+    from .channel_transform import forward as channel_forward
+
+    image = channel_forward(image, opts.color_transform)
     meta = image.metadata
     geo = get_geometry(meta.height, meta.width)
     sched = get_schedule(meta.height, meta.width, mode=opts.mode)
@@ -208,4 +211,6 @@ def decode_pipeline_np(image: CompressedImage) -> RasterImage:
     coef = dequantize_np(qcoef, qm, geo)
     pixels = inverse_lifting_np(coef, geo)  # [C, H*W] uint8
     data = pixels.T.reshape(meta.height, meta.width, C)
-    return RasterImage(metadata=meta, data=data)
+    from .channel_transform import inverse as channel_inverse
+
+    return channel_inverse(RasterImage(metadata=meta, data=data))

@@ -286,6 +286,12 @@ class ShardedEncoder:
         qm = quantization_matrix(opts.quality)
         qdiv = jnp.asarray(qm.astype(np.int32)[self._qn])
 
+        cs = ColorSpace.LUMA if C == 1 else ColorSpace.RGB
+        if C == 3 and opts.color_transform != "none":
+            from ..codec.channel_transform import subtract_green
+
+            batch = np.stack([subtract_green(batch[b]) for b in range(B)])
+            cs = ColorSpace.YCBCR
         pixels = jnp.asarray(
             batch.reshape(B, -1, C).transpose(0, 2, 1).astype(np.int32)
         )  # [B, C, HW]
@@ -332,7 +338,6 @@ class ShardedEncoder:
             self.height, self.width, nl, self.depth, self.mode, C
         )
 
-        cs = ColorSpace.LUMA if C == 1 else ColorSpace.RGB
         meta = ImageMetadata(height=self.height, width=self.width, colorspace=cs)
         out: List[bytes] = []
         for b in range(B):

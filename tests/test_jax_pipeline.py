@@ -177,7 +177,27 @@ def test_channel_transform_stage():
     from frave_tpu.codec import channel_transform as ct
 
     img = _natural_image(16, 16, 3, seed=1)
-    assert ct.forward(img, ColorSpace.RGB) is img
+    assert ct.forward(img, "none") is img
     assert ct.inverse(img) is img
-    with pytest.raises(NotImplementedError):
-        ct.forward(img, ColorSpace.YCBCR)
+    t = ct.forward(img, "auto")
+    assert t.metadata.colorspace == ColorSpace.YCBCR
+    back = ct.inverse(t)
+    assert back.metadata.colorspace == ColorSpace.RGB
+    np.testing.assert_array_equal(back.data, img.data)
+    # mod-256 wraparound cases
+    arr = np.asarray([[[255, 0, 255], [0, 255, 0]]], dtype=np.uint8)
+    rt = ct.add_green(ct.subtract_green(arr))
+    np.testing.assert_array_equal(rt, arr)
+
+
+def test_rgb_subtract_green_improves_correlated_content():
+    rng = np.random.default_rng(0)
+    g = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    arr = np.stack([g, g, g], axis=-1)  # perfectly correlated channels
+    b_on = FRIEncoder(EncoderOptions(backend="numpy")).encode(arr)
+    b_off = FRIEncoder(
+        EncoderOptions(backend="numpy", color_transform="none")
+    ).encode(arr)
+    assert len(b_on) < 0.6 * len(b_off)
+    out = FRIDecoder(backend="numpy").decode(b_on)
+    np.testing.assert_array_equal(out.data, arr)
