@@ -37,16 +37,21 @@ def add_green(arr: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def forward(image: RasterImage, color_transform: str) -> RasterImage:
+def forward(image: RasterImage, color_transform: str, lossless: bool = True) -> RasterImage:
     """Encode-side transform into the coding colorspace.
 
-    color_transform: "auto"/"subtract-green" applies the reversible
-    transform to RGB inputs; "none" encodes planes as-is."""
+    color_transform: "subtract-green" always applies to RGB; "auto"
+    applies only for LOSSLESS encodes — under quantization, an error in
+    the G plane propagates into R/B through the mod-256 inverse and can
+    wrap (max error 255), so lossy defaults stay in RGB; "none" disables.
+    """
     meta = image.metadata
     if meta.colorspace != ColorSpace.RGB or color_transform == "none":
         return image
     if color_transform not in ("auto", "subtract-green"):
         raise ValueError(f"unknown color transform {color_transform!r}")
+    if color_transform == "auto" and not lossless:
+        return image
     return RasterImage(
         metadata=ImageMetadata(
             height=meta.height,

@@ -543,7 +543,10 @@ def _encode_dispatch(images: List[RasterImage], opts: EncoderOptions):
     (prog, device packed output, qm) without blocking on the result."""
     from .channel_transform import forward as channel_forward
 
-    images = [channel_forward(im, opts.color_transform) for im in images]
+    lossless = opts.quality.name == "LOSSLESS"
+    images = [
+        channel_forward(im, opts.color_transform, lossless) for im in images
+    ]
     meta = images[0].metadata
     C = meta.num_channels
     for im in images:

@@ -48,7 +48,9 @@ from .options import EncoderOptions, quantization_matrix
 def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedImage:
     from .channel_transform import forward as channel_forward
 
-    image = channel_forward(image, opts.color_transform)
+    image = channel_forward(
+        image, opts.color_transform, opts.quality.name == "LOSSLESS"
+    )
     meta = image.metadata
     geo = get_geometry(meta.height, meta.width)
     sched = get_schedule(meta.height, meta.width, mode=opts.mode)

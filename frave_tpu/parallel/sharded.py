@@ -287,7 +287,10 @@ class ShardedEncoder:
         qdiv = jnp.asarray(qm.astype(np.int32)[self._qn])
 
         cs = ColorSpace.LUMA if C == 1 else ColorSpace.RGB
-        if C == 3 and opts.color_transform != "none":
+        apply_ct = opts.color_transform == "subtract-green" or (
+            opts.color_transform == "auto" and opts.quality.name == "LOSSLESS"
+        )
+        if C == 3 and apply_ct:
             from ..codec.channel_transform import subtract_green
 
             batch = np.stack([subtract_green(batch[b]) for b in range(B)])

@@ -201,3 +201,15 @@ def test_rgb_subtract_green_improves_correlated_content():
     assert len(b_on) < 0.6 * len(b_off)
     out = FRIDecoder(backend="numpy").decode(b_on)
     np.testing.assert_array_equal(out.data, arr)
+
+
+def test_lossy_rgb_no_wrap_artifacts():
+    """auto color transform must NOT apply under quantization (mod-256
+    wraps would turn small coefficient errors into +-255 pixel errors)."""
+    img = _natural_image(64, 64, 3, seed=17)
+    blob = FRIEncoder(
+        EncoderOptions(backend="numpy", quality=EncoderQuality.LOW)
+    ).encode(img)
+    out = FRIDecoder(backend="numpy").decode(blob)
+    err = np.abs(out.data.astype(np.int32) - img.data.astype(np.int32))
+    assert err.max() < 64
