@@ -20,6 +20,6 @@ capability here is a new TPU-native obligation from the north star
 """
 
 from .mesh import make_mesh, mesh_factorization
-from .sharded import ShardedEncoder
+from .sharded import ShardedDecoder, ShardedEncoder
 
-__all__ = ["make_mesh", "mesh_factorization", "ShardedEncoder"]
+__all__ = ["make_mesh", "mesh_factorization", "ShardedEncoder", "ShardedDecoder"]

@@ -20,6 +20,16 @@ program runs the full analyze step:
 The `dp` axis never communicates: images are independent (per-image
 predictor parameters and tables, as in the reference where every encode is
 one image).
+
+Decode-side sharding note: the wavefront decode advances one rANS step at
+a time; sharding LANES over `tp` would insert one ICI collective per scan
+step (an all-gather of each step's decoded coefficients) — hundreds of
+latency-bound collectives per image for no bandwidth win, since the
+per-step payload is a few KB. The TPU-native answer is `ShardedDecoder`
+below: images shard over the mesh (pure dp — zero communication), and
+within a chip all lanes/channels of an image decode vectorized. Tile-
+sharded decode of a single image remains possible through the same
+machinery if a config ever demands it, at the documented latency cost.
 """
 
 from __future__ import annotations
@@ -380,4 +390,38 @@ class ShardedEncoder:
                     )
                 )
             )
+        return out
+
+
+@dataclasses.dataclass
+class ShardedDecoder:
+    """dp-sharded batched decode: images distributed over every device of
+    the mesh, one fused decode program per device shard."""
+
+    height: int
+    width: int
+    channels: int
+    mesh: Mesh
+
+    def decode_batch(self, blobs: List[bytes]):
+        """Decode same-shape containers, images sharded across the mesh.
+        Returns decoded arrays in input order."""
+        import jax
+
+        from ..codec.container import deserialize
+        from ..codec.pipeline_jax import decode_pipeline_jax_batch
+
+        n_dev = self.mesh.devices.size
+        images = [deserialize(b) for b in blobs]
+        B = len(images)
+        # shard round-robin; each shard decodes its slice with the
+        # single-chip fused program placed on its device
+        out = [None] * B
+        for d in range(min(n_dev, B)):
+            idx = list(range(d, B, n_dev))
+            dev = self.mesh.devices.reshape(-1)[d]
+            with jax.default_device(dev):
+                decoded = decode_pipeline_jax_batch([images[i] for i in idx])
+            for i, im in zip(idx, decoded):
+                out[i] = im
         return out

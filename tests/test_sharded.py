@@ -76,3 +76,16 @@ def test_sharded_tp_heavy():
     dec = FRIDecoder(backend="numpy")
     for i, blob in enumerate(blobs):
         np.testing.assert_array_equal(dec.decode(blob).data, batch[i])
+
+
+def test_sharded_decoder_dp():
+    from frave_tpu.parallel.sharded import ShardedDecoder
+
+    mesh = make_mesh(8)
+    batch = _batch(4, 32, 32, 1, seed=11)
+    enc = ShardedEncoder(height=32, width=32, channels=1, batch=4, mesh=mesh)
+    blobs = enc.encode_batch(batch)
+    dec = ShardedDecoder(height=32, width=32, channels=1, mesh=mesh)
+    outs = dec.decode_batch(blobs)
+    for i in range(4):
+        np.testing.assert_array_equal(outs[i].data, batch[i])
