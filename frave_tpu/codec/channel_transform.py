@@ -37,21 +37,38 @@ def add_green(arr: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def subtract_green_clamped(arr: np.ndarray) -> np.ndarray:
+    """Lossy-mode variant: clamped difference instead of mod-256 — a
+    quantization error in G cannot wrap R/B by 256 (error stays bounded).
+    Slightly lossy itself only where |R-G| or |B-G| > 127 (clamp)."""
+    out = arr.astype(np.int32).copy()
+    out[:, :, 0] = np.clip(out[:, :, 0] - out[:, :, 1] + 128, 0, 255)
+    out[:, :, 2] = np.clip(out[:, :, 2] - out[:, :, 1] + 128, 0, 255)
+    return out.astype(np.uint8)
+
+
+def add_green_clamped(arr: np.ndarray) -> np.ndarray:
+    """Inverse of subtract_green_clamped (up to its clamp)."""
+    out = arr.astype(np.int32).copy()
+    out[:, :, 0] = np.clip(out[:, :, 0] + out[:, :, 1] - 128, 0, 255)
+    out[:, :, 2] = np.clip(out[:, :, 2] + out[:, :, 1] - 128, 0, 255)
+    return out.astype(np.uint8)
+
+
 def forward(image: RasterImage, color_transform: str, lossless: bool = True) -> RasterImage:
     """Encode-side transform into the coding colorspace.
 
-    color_transform: "subtract-green" always applies to RGB; "auto"
-    applies only for LOSSLESS encodes — under quantization, an error in
-    the G plane propagates into R/B through the mod-256 inverse and can
-    wrap (max error 255), so lossy defaults stay in RGB; "none" disables.
+    LOSSLESS encodes use the exactly-invertible mod-256 transform; lossy
+    encodes use the clamped variant (mod-256 would let a quantization
+    error in G wrap R/B by 256). The variant is implied on the wire by
+    the container's quality byte, so no extra field is needed.
     """
     meta = image.metadata
     if meta.colorspace != ColorSpace.RGB or color_transform == "none":
         return image
     if color_transform not in ("auto", "subtract-green"):
         raise ValueError(f"unknown color transform {color_transform!r}")
-    if color_transform == "auto" and not lossless:
-        return image
+    data = subtract_green(image.data) if lossless else subtract_green_clamped(image.data)
     return RasterImage(
         metadata=ImageMetadata(
             height=meta.height,
@@ -59,15 +76,17 @@ def forward(image: RasterImage, color_transform: str, lossless: bool = True) -> 
             colorspace=ColorSpace.YCBCR,
             variant=meta.variant,
         ),
-        data=subtract_green(image.data),
+        data=data,
     )
 
 
-def inverse(image: RasterImage) -> RasterImage:
-    """Decode-side transform back to display colorspace."""
+def inverse(image: RasterImage, lossless: bool = True) -> RasterImage:
+    """Decode-side transform back to display colorspace; the variant is
+    selected by the container's quality (see forward)."""
     meta = image.metadata
     if meta.colorspace != ColorSpace.YCBCR:
         return image
+    data = add_green(image.data) if lossless else add_green_clamped(image.data)
     return RasterImage(
         metadata=ImageMetadata(
             height=meta.height,
@@ -75,5 +94,5 @@ def inverse(image: RasterImage) -> RasterImage:
             colorspace=ColorSpace.RGB,
             variant=meta.variant,
         ),
-        data=add_green(image.data),
+        data=data,
     )

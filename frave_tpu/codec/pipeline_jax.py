@@ -697,6 +697,7 @@ def decode_pipeline_jax_batch(
     if _defer:
         return pixels_dev, meta, C
     from .channel_transform import inverse as channel_inverse
+    from .options import EncoderQuality
 
     pixels = np.asarray(pixels_dev)
     return [
@@ -704,7 +705,8 @@ def decode_pipeline_jax_batch(
             RasterImage(
                 metadata=im.metadata,
                 data=pixels[b].T.reshape(meta.height, meta.width, C),
-            )
+            ),
+            im.quality == EncoderQuality.LOSSLESS.value,
         )
         for b, im in enumerate(images)
     ]
@@ -722,14 +724,15 @@ def decode_pipeline_jax_stream(
         dev, meta, C = decode_pipeline_jax_batch(chunk, _defer=True)
         if pending is not None:
             out.extend(_decode_finish(*pending))
-        pending = (dev, meta, C)
+        pending = (dev, meta, C, [im.quality for im in chunk])
     if pending is not None:
         out.extend(_decode_finish(*pending))
     return out
 
 
-def _decode_finish(pixels_dev, meta, C) -> List[RasterImage]:
+def _decode_finish(pixels_dev, meta, C, qualities=None) -> List[RasterImage]:
     from .channel_transform import inverse as channel_inverse
+    from .options import EncoderQuality
 
     pixels = np.asarray(pixels_dev)
     return [
@@ -737,7 +740,9 @@ def _decode_finish(pixels_dev, meta, C) -> List[RasterImage]:
             RasterImage(
                 metadata=meta,
                 data=pixels[b].T.reshape(meta.height, meta.width, C),
-            )
+            ),
+            qualities is None
+            or qualities[b] == EncoderQuality.LOSSLESS.value,
         )
         for b in range(pixels.shape[0])
     ]

@@ -214,5 +214,9 @@ def decode_pipeline_np(image: CompressedImage) -> RasterImage:
     pixels = inverse_lifting_np(coef, geo)  # [C, H*W] uint8
     data = pixels.T.reshape(meta.height, meta.width, C)
     from .channel_transform import inverse as channel_inverse
+    from .options import EncoderQuality
 
-    return channel_inverse(RasterImage(metadata=meta, data=data))
+    return channel_inverse(
+        RasterImage(metadata=meta, data=data),
+        image.quality == EncoderQuality.LOSSLESS.value,
+    )

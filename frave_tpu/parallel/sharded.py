@@ -297,13 +297,18 @@ class ShardedEncoder:
         qdiv = jnp.asarray(qm.astype(np.int32)[self._qn])
 
         cs = ColorSpace.LUMA if C == 1 else ColorSpace.RGB
-        apply_ct = opts.color_transform == "subtract-green" or (
-            opts.color_transform == "auto" and opts.quality.name == "LOSSLESS"
-        )
-        if C == 3 and apply_ct:
-            from ..codec.channel_transform import subtract_green
+        if C == 3 and opts.color_transform != "none":
+            from ..codec.channel_transform import (
+                subtract_green,
+                subtract_green_clamped,
+            )
 
-            batch = np.stack([subtract_green(batch[b]) for b in range(B)])
+            fwd = (
+                subtract_green
+                if opts.quality.name == "LOSSLESS"
+                else subtract_green_clamped
+            )
+            batch = np.stack([fwd(batch[b]) for b in range(B)])
             cs = ColorSpace.YCBCR
         pixels = jnp.asarray(
             batch.reshape(B, -1, C).transpose(0, 2, 1).astype(np.int32)

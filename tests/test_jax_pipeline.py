@@ -213,3 +213,18 @@ def test_lossy_rgb_no_wrap_artifacts():
     out = FRIDecoder(backend="numpy").decode(blob)
     err = np.abs(out.data.astype(np.int32) - img.data.astype(np.int32))
     assert err.max() < 64
+
+
+def test_lossy_rgb_clamped_transform_rate_win():
+    """Lossy RGB uses the clamped subtract-green variant: bounded error
+    (no mod-256 wraps) AND the decorrelation rate win."""
+    img = _natural_image(64, 64, 3, seed=23)
+    q = EncoderQuality.MEDIUM
+    b_on = FRIEncoder(EncoderOptions(backend="numpy", quality=q)).encode(img)
+    b_off = FRIEncoder(
+        EncoderOptions(backend="numpy", quality=q, color_transform="none")
+    ).encode(img)
+    assert len(b_on) < len(b_off)
+    out = FRIDecoder(backend="numpy").decode(b_on)
+    err = np.abs(out.data.astype(np.int32) - img.data.astype(np.int32))
+    assert err.max() < 64
