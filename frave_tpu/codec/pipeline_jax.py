@@ -193,6 +193,8 @@ class CodecProgram:
             put(steps.step_lf.astype(bool)),
             put(steps.step_group.astype(np.int32)),
             put(np.where(pg >= 0, pg, HW).astype(np.int32).reshape(-1)),  # pix_safe
+            put(geo.coef_mask.astype(bool)),  # node presence [T, N]
+            put(pg >= 0),  # leaf in-bounds [T, N]
         )
 
         # ------------- fused encode (single image [C, HW]) -------------
@@ -341,6 +343,8 @@ class CodecProgram:
             d_lf,
             d_grp,
             pix_safe,
+            node_mask,
+            leaf_inb,
         ):
             # --- regenerate context tables on device (context_from_wire
             # twin: all-zero hist, wire bits, wire off-mask)
@@ -407,7 +411,9 @@ class CodecProgram:
             )
             qcoef = qpad[:, :n_slots].reshape(C, T, N)
             coef = J.dequantize(qcoef, qdiv[None, None, :])
-            leaves = J.inverse_lifting(coef, depth)
+            leaves = J.inverse_lifting(
+                coef, depth, node_mask[None], leaf_inb[None]
+            )
             out = jnp.zeros((C, HW + 1), dtype=jnp.int32)
             out = out.at[:, pix_safe].set(leaves.reshape(C, -1))
             return jnp.clip(out[:, :HW], 0, 255).astype(jnp.uint8)
@@ -444,7 +450,7 @@ class CodecProgram:
             fn = jax.jit(
                 jax.vmap(
                     self._decode_fused,
-                    in_axes=(0,) * 6 + (None,) * 8,
+                    in_axes=(0,) * 6 + (None,) * 10,
                 )
             )
             self._dec_jit[key] = fn

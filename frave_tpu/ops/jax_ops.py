@@ -38,9 +38,10 @@ def forward_lifting(leaves: jnp.ndarray, leaf_mask: jnp.ndarray, depth: int) -> 
     """Haar-style lifting, bottom-up (wavelet_transform.rs:179-225).
 
     leaves: [..., N] int32 leaf pixel values (N = 2**depth);
-    leaf_mask: [..., N] bool in-bounds mask. Missing sides read as 0
-    (try_apply Some-propagation, wavelet_transform.rs:14-26).
-    Returns coefficients [..., N] int32; DC at index 0.
+    leaf_mask: [..., N] bool in-bounds mask. Mask-aware: a single-child
+    node codes difference 0 and passes the present value through (see
+    ops/lifting.forward_lifting_np for the rationale vs the reference's
+    read-as-0 semantics). Returns coefficients [..., N] int32; DC at 0.
     """
     n = 1 << depth
     assert leaves.shape[-1] == n
@@ -54,20 +55,28 @@ def forward_lifting(leaves: jnp.ndarray, leaf_mask: jnp.ndarray, depth: int) -> 
         Rm = mask[..., 1::2]
         l0 = jnp.where(Lm, L, 0)
         r0 = jnp.where(Rm, R, 0)
-        c = l0 - r0
-        m = Lm | Rm
-        coef_parts[level] = jnp.where(m, c, 0)  # haar indices [2^level, 2^(level+1))
-        vals = r0 + trunc_div(c, 2)
-        mask = m
+        both = Lm & Rm
+        c = jnp.where(both, l0 - r0, 0)
+        coef_parts[level] = c  # haar indices [2^level, 2^(level+1))
+        vals = jnp.where(both, r0 + trunc_div(c, 2), l0 + r0)
+        mask = Lm | Rm
     dc = jnp.where(mask[..., 0:1], vals[..., 0:1], 0)
     return jnp.concatenate([dc] + coef_parts[:depth], axis=-1)
 
 
-def inverse_lifting(coef: jnp.ndarray, depth: int) -> jnp.ndarray:
+def inverse_lifting(
+    coef: jnp.ndarray,
+    depth: int,
+    node_mask: jnp.ndarray = None,
+    leaf_mask: jnp.ndarray = None,
+) -> jnp.ndarray:
     """Inverse lifting, top-down (extract_values, wavelet_transform.rs:358-381).
 
-    coef: [..., N] int32. Returns leaf values [..., N] int32 (values under
-    mask-false nodes are garbage — never scattered to pixels).
+    coef: [..., N] int32; node_mask [..., N] bool (coefficient/node
+    presence), leaf_mask [..., N] bool — the mask-aware mirror of
+    forward_lifting (single-child nodes pass the low through). Returns
+    leaf values [..., N] int32 (garbage at mask-false leaves — never
+    scattered to pixels).
     """
     n = 1 << depth
     assert coef.shape[-1] == n
@@ -75,8 +84,15 @@ def inverse_lifting(coef: jnp.ndarray, depth: int) -> jnp.ndarray:
     for level in range(depth):
         lo, hi = 1 << level, 1 << (level + 1)
         c = coef[..., lo:hi]
-        right = vals - trunc_div(c, 2)
-        left = c + right
+        if level == depth - 1:
+            Lm = leaf_mask[..., 0::2]
+            Rm = leaf_mask[..., 1::2]
+        else:
+            Lm = node_mask[..., 2 * lo : 2 * hi : 2]
+            Rm = node_mask[..., 2 * lo + 1 : 2 * hi : 2]
+        both = Lm & Rm
+        right = jnp.where(both, vals - trunc_div(c, 2), vals)
+        left = jnp.where(both, c + right, vals)
         # interleave (left, right) -> children order 2p, 2p+1
         vals = jnp.stack([left, right], axis=-1).reshape(
             coef.shape[:-1] + (2 * (hi - lo),)

@@ -30,7 +30,16 @@ from ..fractal.geometry import FractalGeometry
 
 def forward_lifting_np(pixels: np.ndarray, geo: FractalGeometry) -> np.ndarray:
     """pixels: [C, H*W] integer array. Returns coefficients [C, T, N] int32
-    (0 at mask-false slots)."""
+    (0 at mask-false slots).
+
+    Mask-aware divergence from the reference (wavelet_transform.rs:179-225,
+    where a missing side reads as 0): when exactly one child is present
+    the difference is coded as 0 and the low passes the present value
+    through. The reference's read-as-0 makes every boundary tile pay
+    full-magnitude coefficients at every level (content ~128 against a
+    phantom 0) — a perimeter-sized rate tax on every image. Which
+    children exist is a static property of the geometry, so the inverse
+    reproduces the choice exactly (child_masks below)."""
     n = geo.nodes_per_tile
     depth = geo.depth
     P = geo.pixel_gather.astype(np.int64)  # [T, N]
@@ -51,30 +60,54 @@ def forward_lifting_np(pixels: np.ndarray, geo: FractalGeometry) -> np.ndarray:
         Rm = mask[..., 1::2]
         l0 = np.where(Lm, L, 0)
         r0 = np.where(Rm, R, 0)
-        c = l0 - r0
-        m = Lm | Rm
-        low = r0 + trunc_div(c, 2)
-        coef[..., lo:hi] = np.where(m, c, 0)
+        both = Lm & Rm
+        c = np.where(both, l0 - r0, 0)
+        low = np.where(both, r0 + trunc_div(c, 2), l0 + r0)
+        coef[..., lo:hi] = c
         vals = low
-        mask = m
+        mask = Lm | Rm
     coef[..., 0] = np.where(mask[..., 0], vals[..., 0], 0)
     return coef.astype(np.int32)
 
 
+def child_masks(geo: FractalGeometry):
+    """Per level l in [0, depth): (Lm, Rm) [T, 2**l] bool — presence of the
+    left/right child of each node expanded at that level. Children of
+    level depth-1 nodes are leaves (pixel in-bounds mask)."""
+    depth = geo.depth
+    inb = geo.pixel_gather >= 0
+    node = geo.coef_mask  # [T, N] node presence
+    out = []
+    for level in range(depth):
+        lo, hi = 1 << level, 1 << (level + 1)
+        if level == depth - 1:
+            Lm = inb[:, 0::2]
+            Rm = inb[:, 1::2]
+        else:
+            Lm = node[:, 2 * lo : 2 * hi : 2]
+            Rm = node[:, 2 * lo + 1 : 2 * hi : 2]
+        out.append((Lm, Rm))
+    return out
+
+
 def inverse_lifting_np(coef: np.ndarray, geo: FractalGeometry) -> np.ndarray:
     """coef: [C, T, N] int. Returns pixels [C, H*W] uint8 (values clamped to
-    0..255 as RasterImage::set_pixel does, images.rs:109)."""
+    0..255 as RasterImage::set_pixel does, images.rs:109). Mask-aware
+    mirror of forward_lifting_np: single-child nodes pass the low through."""
     n = geo.nodes_per_tile
     depth = geo.depth
     coef = coef.astype(np.int64)
     C, T, _ = coef.shape
+    cm = child_masks(geo)
 
     vals = coef[..., 0:1].copy()  # low of node 1
     for level in range(depth):
         lo, hi = 1 << level, 1 << (level + 1)
         c = coef[..., lo:hi]
-        right = vals - trunc_div(c, 2)
-        left = c + right
+        Lm, Rm = cm[level]
+        both = (Lm & Rm)[None]
+        right = np.where(both, vals - trunc_div(c, 2), vals)
+        left = np.where(both, c + right, vals)
         nxt = np.empty((C, T, 2 * (hi - lo)), dtype=np.int64)
         nxt[..., 0::2] = left
         nxt[..., 1::2] = right

@@ -42,27 +42,33 @@ def _trunc_div(a, q):
     return jnp.where(a < 0, -((-a) // q), a // q)
 
 
-def _fwd_kernel(depth: int, leaves_ref, qdiv_ref, out_ref):
+def _fwd_kernel(depth: int, leaves_ref, lmask_ref, qdiv_ref, out_ref):
     n = 1 << depth
     vals = leaves_ref[:]  # [n, LANES] int32, leaves pre-masked to 0
+    mask = lmask_ref[:] > 0  # [n, LANES] leaf in-bounds
     qdiv = qdiv_ref[:]  # [n, 1] int32
     parts = [None] * (depth + 1)
     for level in range(depth - 1, -1, -1):
         m = 1 << (level + 1)
         pairs = vals.reshape(m // 2, 2, LANES)
-        L = pairs[:, 0, :]
-        R = pairs[:, 1, :]
-        c = L - R
+        mp = mask.reshape(m // 2, 2, LANES)
+        L, R = pairs[:, 0, :], pairs[:, 1, :]
+        Lm, Rm = mp[:, 0, :], mp[:, 1, :]
+        both = Lm & Rm
+        c = jnp.where(both, L - R, 0)
         parts[level] = c  # haar indices [2^level, 2^(level+1))
-        vals = R + _trunc_div2(c)
+        vals = jnp.where(both, R + _trunc_div2(c), L + R)
+        mask = Lm | Rm
     coef = jnp.concatenate([vals] + parts[:depth], axis=0)  # [n, LANES]
     out_ref[:] = _trunc_div(coef, qdiv)
 
 
-def _inv_kernel(depth: int, qcoef_ref, qdiv_ref, out_ref):
+def _inv_kernel(depth: int, qcoef_ref, nmask_ref, lmask_ref, qdiv_ref, out_ref):
     n = 1 << depth
     q = qdiv_ref[:]  # [n, 1]
     c_all = qcoef_ref[:]  # [n, LANES]
+    nmask = nmask_ref[:] > 0  # node presence [n, LANES]
+    lmask = lmask_ref[:] > 0  # leaf in-bounds [n, LANES]
     # dequantize with midpoint bias (ops/jax_ops.dequantize)
     bias = jnp.sign(c_all) * ((q - 1) // 2)
     coef = c_all * q + bias
@@ -70,8 +76,13 @@ def _inv_kernel(depth: int, qcoef_ref, qdiv_ref, out_ref):
     for level in range(depth):
         lo, hi = 1 << level, 1 << (level + 1)
         c = coef[lo:hi, :]
-        right = vals - _trunc_div2(c)
-        left = c + right
+        if level == depth - 1:
+            mp = lmask.reshape(n // 2, 2, LANES)
+        else:
+            mp = nmask[2 * lo : 2 * hi, :].reshape(hi - lo, 2, LANES)
+        both = mp[:, 0, :] & mp[:, 1, :]
+        right = jnp.where(both, vals - _trunc_div2(c), vals)
+        left = jnp.where(both, c + right, vals)
         vals = jnp.stack([left, right], axis=1).reshape(2 * (hi - lo), LANES)
     out_ref[:] = vals  # leaves [n, LANES]
 
@@ -87,44 +98,21 @@ def _pad_tiles(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def forward_lift_quantize(
-    leaves_nt: jnp.ndarray, qdiv: jnp.ndarray, depth: int
+    leaves_nt: jnp.ndarray, leaf_mask_nt: jnp.ndarray, qdiv: jnp.ndarray, depth: int
 ) -> jnp.ndarray:
-    """leaves_nt: [N, T] int32 (pre-masked); qdiv: [N] int32.
-    Returns quantized coefficients [N, T] int32."""
+    """leaves_nt: [N, T] int32 (pre-masked); leaf_mask_nt: [N, T] bool/int;
+    qdiv: [N] int32. Returns quantized coefficients [N, T] int32."""
     n = 1 << depth
     assert leaves_nt.shape[0] == n
     T = leaves_nt.shape[1]
     x = _pad_tiles(leaves_nt)
+    m = _pad_tiles(leaf_mask_nt.astype(jnp.int8))
     Tp = x.shape[1]
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, depth),
         grid=(Tp // LANES,),
         in_specs=[
             pl.BlockSpec((n, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (n, LANES), lambda i: (0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, Tp), jnp.int32),
-    )(x, qdiv.reshape(n, 1))
-    return out[:, :T]
-
-
-def dequantize_inverse_lift(
-    qcoef_nt: jnp.ndarray, qdiv: jnp.ndarray, depth: int
-) -> jnp.ndarray:
-    """qcoef_nt: [N, T] int32; returns leaves [N, T] int32 (garbage at
-    mask-false nodes, never scattered to pixels)."""
-    n = 1 << depth
-    assert qcoef_nt.shape[0] == n
-    T = qcoef_nt.shape[1]
-    x = _pad_tiles(qcoef_nt)
-    Tp = x.shape[1]
-    out = pl.pallas_call(
-        functools.partial(_inv_kernel, depth),
-        grid=(Tp // LANES,),
-        in_specs=[
             pl.BlockSpec((n, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -132,7 +120,40 @@ def dequantize_inverse_lift(
             (n, LANES), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, Tp), jnp.int32),
-    )(x, qdiv.reshape(n, 1))
+    )(x, m, qdiv.reshape(n, 1))
+    return out[:, :T]
+
+
+def dequantize_inverse_lift(
+    qcoef_nt: jnp.ndarray,
+    node_mask_nt: jnp.ndarray,
+    leaf_mask_nt: jnp.ndarray,
+    qdiv: jnp.ndarray,
+    depth: int,
+) -> jnp.ndarray:
+    """qcoef_nt: [N, T] int32; node/leaf masks [N, T]; returns leaves
+    [N, T] int32 (garbage at mask-false leaves, never scattered)."""
+    n = 1 << depth
+    assert qcoef_nt.shape[0] == n
+    T = qcoef_nt.shape[1]
+    x = _pad_tiles(qcoef_nt)
+    nm = _pad_tiles(node_mask_nt.astype(jnp.int8))
+    lm = _pad_tiles(leaf_mask_nt.astype(jnp.int8))
+    Tp = x.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_inv_kernel, depth),
+        grid=(Tp // LANES,),
+        in_specs=[
+            pl.BlockSpec((n, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n, LANES), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, Tp), jnp.int32),
+    )(x, nm, lm, qdiv.reshape(n, 1))
     return out[:, :T]
 
 

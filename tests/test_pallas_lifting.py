@@ -35,7 +35,11 @@ def test_forward_matches_xla(depth, T):
     )[0]
     out = np.asarray(
         _run_interpret(
-            forward_lift_quantize, jnp.asarray(leaves.T), jnp.asarray(qdiv), depth
+            forward_lift_quantize,
+            jnp.asarray(leaves.T),
+            jnp.asarray(mask.T),
+            jnp.asarray(qdiv),
+            depth,
         )
     ).T
     np.testing.assert_array_equal(out, ref)
@@ -48,6 +52,8 @@ def test_inverse_matches_xla(depth, T):
     rng = np.random.default_rng(1)
     n = 1 << depth
     qcoef = rng.integers(-80, 80, size=(T, n)).astype(np.int32)
+    node_mask = rng.random((T, n)) > 0.1
+    leaf_mask = rng.random((T, n)) > 0.1
     qdiv = np.ones(n, np.int32)
     qdiv[n // 4 :] = 2
 
@@ -55,11 +61,18 @@ def test_inverse_matches_xla(depth, T):
         J.inverse_lifting(
             J.dequantize(jnp.asarray(qcoef)[None], jnp.asarray(qdiv)[None, None, :]),
             depth,
+            jnp.asarray(node_mask)[None],
+            jnp.asarray(leaf_mask)[None],
         )
     )[0]
     out = np.asarray(
         _run_interpret(
-            dequantize_inverse_lift, jnp.asarray(qcoef.T), jnp.asarray(qdiv), depth
+            dequantize_inverse_lift,
+            jnp.asarray(qcoef.T),
+            jnp.asarray(node_mask.T),
+            jnp.asarray(leaf_mask.T),
+            jnp.asarray(qdiv),
+            depth,
         )
     ).T
     np.testing.assert_array_equal(out, ref)
