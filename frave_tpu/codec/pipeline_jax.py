@@ -587,10 +587,17 @@ def _encode_finish(prog, packed_dev, qm, meta, opts) -> List[CompressedImage]:
         tail = np.asarray(packed_dev[:, hw : hw + need])  # fetch 2 (exact)
     else:
         tail = np.zeros((head.shape[0], 0), dtype=np.int32)
+    from ..metrics import get_metrics
+
+    m = get_metrics()
     out: List[CompressedImage] = []
     for b in range(head.shape[0]):
         total_b = int(totals[b])
         stream_b = tail[b].view(np.uint16)[:total_b].copy()
+        m.record(
+            "encode/bpp",
+            16.0 * total_b / (prog.height * prog.width),
+        )
         channel_data, stream_b = _unpack_channels(head[b], stream_b, prog)
         out.append(
             CompressedImage(
