@@ -33,7 +33,7 @@ from ..images import (
 from ..entropy.tables import CONTEXT_AMOUNT, context_from_wire
 
 MAGIC = b"frif"
-VERSION = 5
+VERSION = 6
 _MODES = ("parallel", "parity")  # wire encodings 0, 1
 MARKER_PRD = 0xFFBB
 MARKER_EHD = 0xFFB2

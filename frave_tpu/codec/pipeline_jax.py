@@ -153,6 +153,7 @@ class CodecProgram:
             ),  # snbr_safe [K, 6]
             put(sched.sched_lf.astype(bool)),  # slf
             put(sched.sched_group.astype(np.int32)),  # sgrp
+            put(sched.sched_fbkt.astype(np.int32)),  # sfbkt (-1 = computed)
             put(_LAPLACE_ROWS.astype(np.uint32)),  # lap rows [10, 7, 1024]
         )
         self._lap = self._enc_args[-1]
@@ -192,6 +193,7 @@ class CodecProgram:
             ),
             put(steps.step_lf.astype(bool)),
             put(steps.step_group.astype(np.int32)),
+            put(steps.step_fbkt.astype(np.int32)),
             put(np.where(pg >= 0, pg, HW).astype(np.int32).reshape(-1)),  # pix_safe
             put(geo.coef_mask.astype(bool)),  # node presence [T, N]
             put(pg >= 0),  # leaf in-bounds [T, N]
@@ -199,7 +201,8 @@ class CodecProgram:
 
         # ------------- fused encode (single image [C, HW]) -------------
         def encode_fused(
-            pixels, qdiv, leaf_safe, leaf_mask, sc, snbr_safe, slf, sgrp, lap, perm
+            pixels, qdiv, leaf_safe, leaf_mask, sc, snbr_safe, slf, sgrp,
+            sfbkt, lap, perm
         ):
             leaves = jnp.where(
                 leaf_mask[None], pixels[:, leaf_safe], 0
@@ -257,6 +260,7 @@ class CodecProgram:
             buckets, preds = jax.vmap(
                 lambda v, vp, wp: J.contexts(v, slf, sgrp, vp, wp)
             )(vals, vparams, wparams)
+            buckets = jnp.where(sfbkt[None] >= 0, sfbkt[None], buckets)
             symbols = J.pack_signed(target - preds)  # [C, K] int32
 
             ids = (
@@ -342,6 +346,7 @@ class CodecProgram:
             d_nbr,
             d_lf,
             d_grp,
+            d_fbkt,
             pix_safe,
             node_mask,
             leaf_inb,
@@ -387,11 +392,12 @@ class CodecProgram:
 
             def body(carry, xs):
                 qpad, x, gptr = carry
-                coef_safe, active, nbr_safe, lf, grp = xs
+                coef_safe, active, nbr_safe, lf, grp, fbkt = xs
                 vals = qpad[:, nbr_safe]  # [C, NL, 6]
                 buckets, preds = jax.vmap(
                     lambda v, vp, wp: J.contexts(v, lf, grp, vp, wp)
                 )(vals, vparams, wparams)
+                buckets = jnp.where(fbkt[None] >= 0, fbkt[None], buckets)
                 act = jnp.broadcast_to(active[None], (C, nl))
                 sym, x, gptr = decode_step_stream(
                     x, gptr, buckets, act, stream, lut, freqs, cdfs, bits
@@ -407,7 +413,7 @@ class CodecProgram:
             (qpad, _, _), _ = jax.lax.scan(
                 body,
                 (qpad0, states, gptr0),
-                (d_coef, d_active, d_nbr, d_lf, d_grp),
+                (d_coef, d_active, d_nbr, d_lf, d_grp, d_fbkt),
             )
             qcoef = qpad[:, :n_slots].reshape(C, T, N)
             coef = J.dequantize(qcoef, qdiv[None, None, :])
@@ -450,7 +456,7 @@ class CodecProgram:
             fn = jax.jit(
                 jax.vmap(
                     self._decode_fused,
-                    in_axes=(0,) * 6 + (None,) * 10,
+                    in_axes=(0,) * 6 + (None,) * 11,
                 )
             )
             self._dec_jit[key] = fn

@@ -84,6 +84,8 @@ def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedIm
         buckets, preds = contexts_np(
             vals, sched.sched_lf, sched.sched_group.astype(np.int64), vparams, wparams
         )
+        fb = sched.sched_fbkt.astype(np.int32)
+        buckets = np.where(fb >= 0, fb, buckets)
         values = qflat[ch][sched.sched_coef.astype(np.int64)]
         residuals = values - preds.astype(np.int64)
         symbols = pack_signed(residuals)
@@ -199,10 +201,12 @@ def decode_pipeline_np(image: CompressedImage) -> RasterImage:
         nbr = steps.step_nbr[s].astype(np.int64)  # [NL, 6]
         lf = steps.step_lf[s]
         group = steps.step_group[s].astype(np.int64)
+        fb = steps.step_fbkt[s].astype(np.int64)
         for ch in range(C):
             vals = gather_neighbour_values(qflat[ch], nbr)
             buckets, preds = contexts_np(vals, lf, group, vparams[ch], wparams[ch])
-            bk = np.where(active, buckets.astype(np.int64), -1)
+            buckets = np.where(fb >= 0, fb, buckets.astype(np.int64))
+            bk = np.where(active, buckets, -1)
             syms = decoder.decode_step(ch, bk)
             residuals = unpack_signed(syms)
             values = residuals + preds.astype(np.int64)

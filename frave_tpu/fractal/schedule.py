@@ -86,6 +86,7 @@ class WavefrontSchedule:
     sched_nbr: np.ndarray  # [K, 6] int32 neighbour value slots (-1 absent)
     sched_lf: np.ndarray  # [K] bool: LF (MED) vs HF (learned linear) context
     sched_group: np.ndarray  # [K] int8 predictor parameter group (0/1/2)
+    sched_fbkt: np.ndarray  # [K] int8 fixed context bucket, -1 = computed
     wave_sizes: np.ndarray  # [num_waves] int32, sums to K
     max_wave: int
 
@@ -117,32 +118,62 @@ def build_schedule(geo: FractalGeometry, mode: str = "parallel") -> WavefrontSch
     sched_group: List[np.ndarray] = []
     wave_sizes: List[int] = []
 
-    # --- Level-0 DC phase (both modes): nodes = kept tiles; causal deps =
-    # {left, up_left, up_right} tile (prediction.rs:241-270).
-    tile_deps = geo.tile_nbr[:, 0:3].astype(np.int64)
-    tile_waves = _layer_waves(T, tile_deps)
-    tile_order = np.lexsort((np.arange(T), tile_waves))  # stable by wave, then canonical
-    t_sorted = np.arange(T, dtype=np.int64)[tile_order]
-    w_sorted = tile_waves[tile_order]
-    _, tile_counts = np.unique(w_sorted, return_counts=True)
+    sched_fbkt: List[np.ndarray] = []
 
-    dc_phases = (0, 1) if mode == "parity" else (0,)
-    for phase_haar in dc_phases:
-        coef = (t_sorted * n + phase_haar).astype(np.int64)
-        nbr = np.full((T, 6), -1, dtype=np.int64)
-        valid = geo.tile_nbr[t_sorted, 0:3] >= 0
-        nbr[:, 0:3] = np.where(
-            valid,
-            geo.tile_nbr[t_sorted, 0:3].astype(np.int64) * n + phase_haar,
-            -1,
+    if mode == "parity":
+        # DC + root-HF phases follow the causal tile wavefront
+        # (prediction.rs:241-270).
+        tile_deps = geo.tile_nbr[:, 0:3].astype(np.int64)
+        tile_waves = _layer_waves(T, tile_deps)
+        tile_order = np.lexsort((np.arange(T), tile_waves))
+        t_sorted = np.arange(T, dtype=np.int64)[tile_order]
+        w_sorted = tile_waves[tile_order]
+        _, tile_counts = np.unique(w_sorted, return_counts=True)
+        for phase_haar in (0, 1):
+            coef = (t_sorted * n + phase_haar).astype(np.int64)
+            nbr = np.full((T, 6), -1, dtype=np.int64)
+            valid = geo.tile_nbr[t_sorted, 0:3] >= 0
+            nbr[:, 0:3] = np.where(
+                valid,
+                geo.tile_nbr[t_sorted, 0:3].astype(np.int64) * n + phase_haar,
+                -1,
+            )
+            sched_coef.append(coef)
+            sched_nbr.append(nbr)
+            sched_lf.append(np.ones(T, dtype=bool))
+            sched_group.append(np.zeros(T, dtype=np.int8))
+            sched_fbkt.append(np.full(T, -1, dtype=np.int8))
+            wave_sizes.extend(tile_counts.tolist())
+    else:
+        # TPU-first DC: TWO waves instead of the O(sqrt(T)) tile
+        # wavefront. Phase A: alternate tiles (canonical order) coded
+        # context-free in the widest bucket (pred 0 via all-absent taps,
+        # bucket forced by sched_fbkt — a few extra bits per A tile).
+        # Phase B: remaining tiles predicted from their already-decoded
+        # A-neighbour DCs with the learned 6-tap model.
+        a_set = np.arange(T) % 2 == 0
+        from ..entropy.tables import CONTEXT_AMOUNT
+
+        a_tiles = np.nonzero(a_set)[0].astype(np.int64)
+        sched_coef.append(a_tiles * n)
+        sched_nbr.append(np.full((a_tiles.size, 6), -1, dtype=np.int64))
+        sched_lf.append(np.zeros(a_tiles.size, dtype=bool))
+        sched_group.append(np.full(a_tiles.size, 2, dtype=np.int8))
+        sched_fbkt.append(
+            np.full(a_tiles.size, CONTEXT_AMOUNT - 1, dtype=np.int8)
         )
-        sched_coef.append(coef)
-        sched_nbr.append(nbr)
-        sched_lf.append(np.ones(T, dtype=bool))
-        sched_group.append(np.zeros(T, dtype=np.int8))
-        wave_sizes.extend(tile_counts.tolist())
+        wave_sizes.append(int(a_tiles.size))
 
-    if mode == "parallel":
+        b_tiles = np.nonzero(~a_set)[0].astype(np.int64)
+        tn = geo.tile_nbr[b_tiles].astype(np.int64)  # [B, 6]
+        nbr_b = np.where((tn >= 0) & a_set[np.clip(tn, 0, None)], tn * n, -1)
+        sched_coef.append(b_tiles * n)
+        sched_nbr.append(nbr_b)
+        sched_lf.append(np.zeros(b_tiles.size, dtype=bool))
+        sched_group.append(np.full(b_tiles.size, 2, dtype=np.int8))
+        sched_fbkt.append(np.full(b_tiles.size, -1, dtype=np.int8))
+        wave_sizes.append(int(b_tiles.size))
+
         # root-HF phase: one wave; 6 taps = neighbour tiles' DC values.
         coef = (np.arange(T, dtype=np.int64) * n + 1).astype(np.int64)
         tn = geo.tile_nbr.astype(np.int64)
@@ -151,6 +182,7 @@ def build_schedule(geo: FractalGeometry, mode: str = "parallel") -> WavefrontSch
         sched_nbr.append(nbr)
         sched_lf.append(np.zeros(T, dtype=bool))
         sched_group.append(np.full(T, 2, dtype=np.int8))
+        sched_fbkt.append(np.full(T, -1, dtype=np.int8))
         wave_sizes.append(T)
 
     # --- HF levels 1..depth-1, coarse to fine (entropy_coding.rs:309).
@@ -170,6 +202,7 @@ def build_schedule(geo: FractalGeometry, mode: str = "parallel") -> WavefrontSch
             sched_nbr.append(nbr_o)
             sched_lf.append(np.zeros(nL, dtype=bool))
             sched_group.append(np.full(nL, group, dtype=np.int8))
+            sched_fbkt.append(np.full(nL, -1, dtype=np.int8))
             wave_sizes.append(nL)
             continue
 
@@ -199,12 +232,14 @@ def build_schedule(geo: FractalGeometry, mode: str = "parallel") -> WavefrontSch
         sched_nbr.append(nbr_o)
         sched_lf.append(np.zeros(nL, dtype=bool))
         sched_group.append(np.full(nL, group, dtype=np.int8))
+        sched_fbkt.append(np.full(nL, -1, dtype=np.int8))
         wave_sizes.extend(counts.tolist())
 
     coef = np.concatenate(sched_coef)
     nbr = np.concatenate(sched_nbr, axis=0)
     lf = np.concatenate(sched_lf)
     group = np.concatenate(sched_group)
+    fbkt = np.concatenate(sched_fbkt)
     ws = np.asarray(wave_sizes, dtype=np.int64)
     assert ws.sum() == coef.shape[0]
 
@@ -214,6 +249,7 @@ def build_schedule(geo: FractalGeometry, mode: str = "parallel") -> WavefrontSch
         sched_nbr=nbr.astype(np.int32),
         sched_lf=lf,
         sched_group=group,
+        sched_fbkt=fbkt.astype(np.int8),
         wave_sizes=ws.astype(np.int32),
         max_wave=int(ws.shape[0]),
     )
@@ -236,6 +272,7 @@ class LaneSteps:
     step_nbr: np.ndarray  # [S, NL, 6] int32
     step_lf: np.ndarray  # [S, NL] bool
     step_group: np.ndarray  # [S, NL] int8
+    step_fbkt: np.ndarray  # [S, NL] int8 fixed bucket or -1
 
 
 def build_lane_steps(sched: WavefrontSchedule, nl: int) -> LaneSteps:
@@ -259,6 +296,7 @@ def build_lane_steps(sched: WavefrontSchedule, nl: int) -> LaneSteps:
     step_nbr = np.where(valid[..., None], sched.sched_nbr[safe], -1)
     step_lf = np.where(valid, sched.sched_lf[safe], False)
     step_group = np.where(valid, sched.sched_group[safe], 0)
+    step_fbkt = np.where(valid, sched.sched_fbkt[safe], -1)
     return LaneSteps(
         nl=nl,
         num_steps=S,
@@ -267,6 +305,7 @@ def build_lane_steps(sched: WavefrontSchedule, nl: int) -> LaneSteps:
         step_nbr=step_nbr.astype(np.int32),
         step_lf=step_lf.astype(bool),
         step_group=step_group.astype(np.int8),
+        step_fbkt=step_fbkt.astype(np.int8),
     )
 
 

@@ -125,6 +125,7 @@ class ShardedEncoder:
         )
         slf_p = _pad_to(sched.sched_lf.astype(bool), Kp, False)
         sgrp_p = _pad_to(sched.sched_group.astype(np.int32), Kp, 0)
+        sfbkt_p = _pad_to(sched.sched_fbkt.astype(np.int32), Kp, -1)
 
         qn = np.floor(np.log2(np.arange(N) + 1)).astype(np.int32)
 
@@ -132,7 +133,7 @@ class ShardedEncoder:
         Bl = B // dp
 
         def analyze_shard(pixels, leaf_safe_l, leaf_mask_l, sc_l, snbr_l,
-                          svalid_l, slf_l, sgrp_l, qdiv):
+                          svalid_l, slf_l, sgrp_l, sfbkt_l, qdiv):
             # pixels: [Bl, C, HW]; tile/schedule tensors: local tp slices
             leaves = jnp.where(
                 leaf_mask_l[None, None], pixels[:, :, leaf_safe_l], 0
@@ -193,6 +194,7 @@ class ShardedEncoder:
                 jax.vmap(ctx_one, in_axes=(0, None, None, 0, 0)),
                 in_axes=(0, None, None, 0, 0),
             )(vals, slf_l, sgrp_l, vparams, wparams)
+            buckets = jnp.where(sfbkt_l[None, None] >= 0, sfbkt_l[None, None], buckets)
             residuals = target - preds
             symbols = jnp.where(svalid_l[None, None], J.pack_signed(residuals), 0)
             buckets = jnp.where(svalid_l[None, None], buckets, 0)
@@ -227,6 +229,7 @@ class ShardedEncoder:
             P("tp"),  # svalid
             P("tp"),  # slf
             P("tp"),  # sgrp
+            P("tp"),  # sfbkt
             P(),  # qdiv
         )
         specs_out = (
@@ -274,7 +277,9 @@ class ShardedEncoder:
         # device-resident padded constants
         self._consts = tuple(
             jnp.asarray(a)
-            for a in (leaf_safe, leaf_mask, sc_p, snbr_p, svalid, slf_p, sgrp_p)
+            for a in (
+                leaf_safe, leaf_mask, sc_p, snbr_p, svalid, slf_p, sgrp_p, sfbkt_p,
+            )
         )
         self._qn = qn
         self._Kp = Kp
