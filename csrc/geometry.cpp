@@ -383,9 +383,18 @@ int fg_build(int height, int width, int depth, int64_t T_expect,
 
 extern "C" {
 
+// Source identity for the loader: csrc/Makefile injects the SHA-256 of
+// geometry.cpp at compile time; frave_tpu/native.py refuses to load a
+// build whose hash differs from the on-disk source (prevents silent drift
+// of a stale binary).
+#ifndef FG_SRC_SHA
+#define FG_SRC_SHA "unknown"
+#endif
+const char* fg_source_sha(void) { return FG_SRC_SHA; }
+
 // Longest-path (Kahn) layering over a dependency DAG with <= 3 deps/node.
 // deps: [n * 3] int32 node ids or -1. out_wave: [n] int32.
-// Returns 0 on success, 1 on cycle.
+// Returns 0 on success, 1 on cycle, 2 on out-of-range dependency id.
 int fg_layer_waves(int64_t n, const int32_t* deps, int32_t* out_wave) {
   std::vector<int32_t> indeg(n, 0);
   std::vector<int64_t> head(n, -1);
@@ -397,6 +406,7 @@ int fg_layer_waves(int64_t n, const int32_t* deps, int32_t* out_wave) {
     out_wave[i] = 0;
     for (int d = 0; d < 3; ++d) {
       int32_t u = deps[i * 3 + d];
+      if (u >= n) return 2;  // malformed caller data must not read OOB
       if (u >= 0) {
         succ_node.push_back(i);
         nxt.push_back(head[u]);

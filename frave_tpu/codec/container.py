@@ -30,7 +30,7 @@ from ..images import (
     ImageMetadata,
     AnsContextTables,
 )
-from ..entropy.tables import CONTEXT_AMOUNT, context_from_wire
+from ..entropy.tables import ALPHABET_SIZE, CONTEXT_AMOUNT, context_from_wire
 
 MAGIC = b"frif"
 VERSION = 6
@@ -150,6 +150,8 @@ def deserialize(data: bytes) -> CompressedImage:
         raise SerializeError(f"invalid context-model mode {mode_enc}")
     mode = _MODES[mode_enc]
     nl = r.u16()
+    if nl < 1:
+        raise SerializeError("lane count must be >= 1")
     qm = np.frombuffer(r.take(64), dtype="<u2").astype(np.int32)
     meta = ImageMetadata(height=height, width=width, colorspace=colorspace, variant=variant)
 
@@ -167,6 +169,10 @@ def deserialize(data: bytes) -> CompressedImage:
             bits = r.u8()
             off_len = r.u32()
             off = np.frombuffer(r.take(2 * off_len), dtype="<u2")
+            if off.size and int(off.max()) >= ALPHABET_SIZE:
+                raise SerializeError(
+                    "off-distribution value outside the symbol alphabet"
+                )
             # freqs/cdf are regenerated lazily by the decoder backends
             # (ensure_tables below / on-device twin) — deserialization
             # stays cheap.

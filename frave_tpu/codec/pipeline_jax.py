@@ -154,7 +154,7 @@ class CodecProgram:
             put(sched.sched_lf.astype(bool)),  # slf
             put(sched.sched_group.astype(np.int32)),  # sgrp
             put(sched.sched_fbkt.astype(np.int32)),  # sfbkt (-1 = computed)
-            put(_LAPLACE_ROWS.astype(np.uint32)),  # lap rows [10, 7, 1024]
+            put(_LAPLACE_ROWS.astype(np.uint32)),  # lap rows [CONTEXT_AMOUNT, 7, 1024]
         )
         self._lap = self._enc_args[-1]
         # static per-group HF k-ranges: the schedule orders symbols by
@@ -372,7 +372,7 @@ class CodecProgram:
             # out of the fine-slot range; route them to a discard slot so
             # they never pollute a neighbouring bucket's range.
             shift = (jnp.uint32(LUT_BITS) - bits.astype(jnp.uint32))[..., None]
-            cdf_s = (cdfs << shift).astype(jnp.int32)  # [C, 10, 1024] <= 2**14
+            cdf_s = (cdfs << shift).astype(jnp.int32)  # [C, CONTEXT_AMOUNT, 1024] <= 2**14
             row = (
                 jnp.arange(C * CONTEXT_AMOUNT, dtype=jnp.int32)[:, None]
                 * (1 << LUT_BITS)
@@ -447,7 +447,9 @@ class CodecProgram:
 
     def decode_exec(self, states, stream, wire_bits, offpk, vp, wp, qdiv):
         """Batched (axis 0) wire fields -> pixels [B, C, HW] uint8.
-        stream: [B, W] u16 zero-padded global streams."""
+        stream: [B, W] u16 zero-padded global streams. qdiv is batched
+        ([B, N]) so one batch may mix quality levels / quantization
+        matrices — each image dequantizes with its own table."""
         B = states.shape[0]
         W = stream.shape[-1]
         key = (B, W)
@@ -456,7 +458,7 @@ class CodecProgram:
             fn = jax.jit(
                 jax.vmap(
                     self._decode_fused,
-                    in_axes=(0,) * 6 + (None,) * 11,
+                    in_axes=(0,) * 7 + (None,) * 10,
                 )
             )
             self._dec_jit[key] = fn
@@ -701,8 +703,19 @@ def decode_pipeline_jax_batch(
                 cd.width_prediction_parameters, dtype=np.float32
             )
 
-    qm = np.asarray(images[0].quantization_matrix, dtype=np.int32)
-    qdiv = jnp.asarray(_qdiv_array(qm, BASE_FRAC_DEPTH))
+    # Per-image dequantization tables: a same-shape batch may mix quality
+    # levels (stream chunking / ShardedDecoder hand in arbitrary lists).
+    qdiv = jnp.asarray(
+        np.stack(
+            [
+                _qdiv_array(
+                    np.asarray(im.quantization_matrix, dtype=np.int32),
+                    BASE_FRAC_DEPTH,
+                )
+                for im in images
+            ]
+        )
+    )
 
     pixels_dev = prog.decode_exec(
         jnp.asarray(states),

@@ -198,6 +198,8 @@ def _mask_from_off_list(off_list: Sequence[int]) -> np.ndarray:
     m = np.zeros(ALPHABET_SIZE, dtype=bool)
     idx = np.asarray(list(off_list), dtype=np.int64)
     if idx.size:
+        if int(idx.min()) < 0 or int(idx.max()) >= ALPHABET_SIZE:
+            raise ValueError("off-distribution value outside the alphabet")
         m[idx] = True
     return m
 

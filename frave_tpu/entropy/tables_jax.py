@@ -9,7 +9,7 @@ fields (bits, off-list) and rANS breaks on any 1-bit difference.
 
 The Laplace pmf rows need f64 (unavailable on TPU), so they are
 precomputed on host for every (bucket, bits) pair and passed in as a
-[10, 7, 1024] u32 tensor.
+[CONTEXT_AMOUNT, 7, 1024] u32 tensor.
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ def finalize_contexts_device(
     off_mask_in: jnp.ndarray = None,
 ):
     """hist: [..., 10, 1024] int32 data histograms;
-    lap_rows: [10, 7, 1024] u32 Laplace tables per (bucket, bits).
+    lap_rows: [CONTEXT_AMOUNT, 7, 1024] u32 Laplace tables per (bucket, bits).
 
     Encode side: bits0/off_mask_in omitted — starting bits come from the
     histogram totals (context_from_histogram). Decode side: pass the wire
@@ -58,7 +58,7 @@ def finalize_contexts_device(
     else:
         bits0 = jnp.clip(bits0.astype(jnp.int32), MIN_FREQ_BITS, MAX_FREQ_BITS_CAP)
 
-    lap = lap_rows.astype(jnp.int32)  # [10, 7, 1024]
+    lap = lap_rows.astype(jnp.int32)  # [CONTEXT_AMOUNT, 7, 1024]
     # [7, 1...1, 10, 1024] so the bits axis broadcasts against data's
     # arbitrary leading dims
     lap_b = jnp.moveaxis(lap, 1, 0).reshape(
@@ -79,7 +79,7 @@ def finalize_contexts_device(
     sel = (bits - MIN_FREQ_BITS).astype(jnp.int32)  # [..., 10]
     # gather filled at the selected bits: move the 7-axis last and
     # take_along_axis
-    fa = jnp.moveaxis(filled_all, 0, -2)  # [..., 10, 7, 1024]
+    fa = jnp.moveaxis(filled_all, 0, -2)  # [..., CONTEXT_AMOUNT, 7, 1024]
     filled = jnp.take_along_axis(fa, sel[..., None, None], axis=-2)[..., 0, :]
     lap_sel = jnp.take_along_axis(
         jnp.broadcast_to(jnp.moveaxis(lap, 1, -2), fa.shape),

@@ -311,16 +311,14 @@ def build_lane_steps(sched: WavefrontSchedule, nl: int) -> LaneSteps:
 
 def default_num_lanes(num_symbols: int) -> int:
     """Lane count heuristic: wide enough to keep the decode wavefront fed,
-    small enough that per-lane wire overhead (4B state + 2B count) stays
-    under ~0.25 bpp; always large enough that per-lane word counts fit the
-    container's u16 count field (R = ceil(K / NL) < 65536)."""
+    small enough that per-lane wire overhead (the 4-byte rANS state each
+    lane carries in the container) stays under ~0.25 bpp. Since format v4
+    the wire holds one global decode-order word stream — there are no
+    per-lane counts, so lane count has no u16-width constraint."""
     if num_symbols <= 0:
         return 16
     target = max(16, min(4096, num_symbols // 128))
-    nl = 1 << (int(target).bit_length() - 1)
-    while -(-num_symbols // nl) > 0xFFFF:
-        nl *= 2
-    return nl
+    return 1 << (int(target).bit_length() - 1)
 
 
 _sched_cache: Dict[Tuple[int, int, int, str], WavefrontSchedule] = {}

@@ -10,53 +10,116 @@ without a toolchain; `make -C csrc` enables it.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import subprocess
 from typing import Optional
 
-_LIB_PATHS = (
-    os.path.join(os.path.dirname(__file__), "..", "csrc", "build", "libfrave_host.so"),
+_CSRC_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "csrc")
+)
+_LIB_PATH = os.path.join(_CSRC_DIR, "build", "libfrave_host.so")
+# keep in sync with csrc/Makefile's SRC_SHA (cat order matters)
+_SRC_PATHS = (
+    os.path.join(_CSRC_DIR, "geometry.cpp"),
+    os.path.join(_CSRC_DIR, "refbase.cpp"),
 )
 
 _lib: Optional[ctypes.CDLL] = None
 _load_attempted = False
 
 
+def _source_sha() -> Optional[str]:
+    try:
+        hsh = hashlib.sha256()
+        for path in _SRC_PATHS:
+            with open(path, "rb") as f:
+                hsh.update(f.read())
+        return hsh.hexdigest()
+    except OSError:
+        return None
+
+
+def _try_load(expect_sha: Optional[str]) -> Optional[ctypes.CDLL]:
+    """Load the shared library iff its baked-in source hash matches the
+    on-disk source (a binary is never trusted over the sources it claims
+    to be built from)."""
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    try:
+        lib.fg_source_sha.restype = ctypes.c_char_p
+        built_sha = lib.fg_source_sha().decode("ascii")
+    except AttributeError:
+        return None  # pre-hash build: treat as stale
+    if expect_sha is not None and built_sha != expect_sha:
+        return None
+    lib.fg_num_tiles.restype = ctypes.c_int64
+    lib.fg_num_tiles.argtypes = [ctypes.c_int] * 3
+    lib.fg_layer_waves.restype = ctypes.c_int
+    lib.fg_layer_waves.argtypes = [
+        ctypes.c_int64,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
+    lib.fg_build.restype = ctypes.c_int
+    lib.fg_build.argtypes = [
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
+    lib.rb_encode.restype = ctypes.c_int
+    lib.rb_encode.argtypes = [ctypes.c_int] * 3 + [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.rb_decode.restype = ctypes.c_int
+    lib.rb_decode.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
+    lib.rb_free.argtypes = [ctypes.c_void_p]
+    lib.rb_use_cache.argtypes = [ctypes.c_int]
+    return lib
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
+    """Load the native library, building it from source on demand.
+
+    The binary is not committed; this builds `make -C csrc` on first use
+    (best-effort — missing toolchain falls back to the Python builders)
+    and verifies the baked-in source hash so a stale build can never
+    silently diverge from csrc/geometry.cpp."""
     global _lib, _load_attempted
     if _load_attempted:
         return _lib
     _load_attempted = True
-    for p in _LIB_PATHS:
-        p = os.path.abspath(p)
-        if os.path.exists(p):
-            try:
-                lib = ctypes.CDLL(p)
-                lib.fg_num_tiles.restype = ctypes.c_int64
-                lib.fg_num_tiles.argtypes = [ctypes.c_int] * 3
-                lib.fg_layer_waves.restype = ctypes.c_int
-                lib.fg_layer_waves.argtypes = [
-                    ctypes.c_int64,
-                    ctypes.c_void_p,
-                    ctypes.c_void_p,
-                ]
-                lib.fg_build.restype = ctypes.c_int
-                lib.fg_build.argtypes = [
-                    ctypes.c_int,
-                    ctypes.c_int,
-                    ctypes.c_int,
-                    ctypes.c_int64,
-                    ctypes.c_void_p,
-                    ctypes.c_void_p,
-                    ctypes.c_void_p,
-                    ctypes.c_void_p,
-                    ctypes.c_void_p,
-                    ctypes.c_void_p,
-                    ctypes.c_void_p,
-                ]
-                _lib = lib
-                break
-            except OSError:
-                continue
+    expect = _source_sha()
+    _lib = _try_load(expect)
+    if _lib is None and os.environ.get("FRAVE_NO_NATIVE_BUILD") != "1":
+        try:
+            subprocess.run(
+                ["make", "-C", _CSRC_DIR],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except (OSError, subprocess.SubprocessError):
+            return None
+        _lib = _try_load(expect)
     return _lib
 
 
@@ -135,6 +198,45 @@ def build_geometry_native(height: int, width: int, depth: int):
     )
 
 
+def refbase_roundtrip(image, cache_geometry: bool = False):
+    """Single-thread C reference-baseline codec (csrc/refbase.cpp): the
+    measured stand-in for the Rust CLI (BASELINE.md). Encodes + decodes
+    `image` [H, W, C] uint8, asserts losslessness, returns
+    (encode_seconds, decode_seconds, blob_bytes). cache_geometry=False
+    rebuilds the tile lattice per call like the reference does
+    (wavelet_transform.rs:405,392); True amortizes it (conservative,
+    faster baseline). Returns None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import time
+
+    import numpy as np
+
+    img = np.ascontiguousarray(image, dtype=np.uint8)
+    h, w, c = img.shape
+    lib.rb_use_cache(1 if cache_geometry else 0)
+    blob = ctypes.c_void_p()
+    blen = ctypes.c_int64()
+    t0 = time.perf_counter()
+    rc = lib.rb_encode(h, w, c, img.ctypes.data, ctypes.byref(blob), ctypes.byref(blen))
+    t1 = time.perf_counter()
+    if rc != 0:
+        raise AssertionError(f"refbase encode failed (rc={rc})")
+    try:
+        out = np.empty((h, w, c), dtype=np.uint8)
+        t2 = time.perf_counter()
+        rc = lib.rb_decode(blob, blen.value, out.ctypes.data)
+        t3 = time.perf_counter()
+        if rc != 0:
+            raise AssertionError(f"refbase decode failed (rc={rc})")
+    finally:
+        lib.rb_free(blob)
+    if not np.array_equal(out, img):
+        raise AssertionError("refbase baseline round trip is not lossless")
+    return t1 - t0, t3 - t2, int(blen.value)
+
+
 def layer_waves_native(deps):
     """Native Kahn longest-path layering; deps [n, 3] int32 (-1 absent).
     Returns int32 waves or None if the library is unavailable."""
@@ -148,6 +250,8 @@ def layer_waves_native(deps):
     assert d.shape == (n, 3)
     out = np.empty(n, dtype=np.int32)
     rc = lib.fg_layer_waves(n, d.ctypes.data, out.ctypes.data)
+    if rc == 2:
+        raise AssertionError("dependency id out of range in deps array")
     if rc != 0:
         raise AssertionError("cycle in causal dependency graph")
     return out

@@ -14,7 +14,7 @@ The TPU redesign of the reference's per-symbol serial coder
   * Decode is a `lax.scan` over wavefront steps: contexts for a whole step
     are computable from already-decoded coefficients (SURVEY.md section
     3.2), so each step decodes one symbol per active lane across all
-    channels. cdf -> symbol uses a host-precomputed [10, 2^14] LUT instead
+    channels. cdf -> symbol uses a host-precomputed [CONTEXT_AMOUNT, 2^14] LUT instead
     of the reference's binary search + linear walk
     (entropy_coding.rs:180-185,246-255) — semantics identical: the LUT
     entry is the *last* symbol whose cdf <= slot.

@@ -96,6 +96,33 @@ def test_jax_lossy_roundtrip_psnr_ordering():
     assert sizes[EncoderQuality.LOW] <= sizes[EncoderQuality.HIGH] <= sizes[EncoderQuality.LOSSLESS]
 
 
+def test_mixed_quality_batch_decode():
+    """Regression (round-1 advisor high): a same-shape batch mixing
+    quality levels must decode each image with ITS OWN quantization
+    matrix — LOSSLESS stays bit-exact and every lossy image matches its
+    solo decode exactly."""
+    from frave_tpu.codec.pipeline_jax import decode_pipeline_jax_stream
+
+    img = _natural_image(48, 48, 1, seed=21)
+    qualities = [
+        EncoderQuality.LOSSLESS,
+        EncoderQuality.LOW,
+        EncoderQuality.HIGH,
+        EncoderQuality.MEDIUM,
+    ]
+    blobs = [
+        FRIEncoder(EncoderOptions(backend="jax", quality=q)).encode(img)
+        for q in qualities
+    ]
+    solo = [FRIDecoder(backend="jax").decode(b) for b in blobs]
+    batch = decode_pipeline_jax_stream(
+        [deserialize(b) for b in blobs], batch_size=4
+    )
+    np.testing.assert_array_equal(batch[0].data, img.data)  # lossless
+    for s, b in zip(solo, batch):
+        np.testing.assert_array_equal(s.data, b.data)
+
+
 def test_jax_deterministic_bitstream():
     img = _rand_image(40, 40, 1, seed=5)
     d1 = FRIEncoder(EncoderOptions(backend="jax")).encode(img)
