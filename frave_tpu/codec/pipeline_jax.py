@@ -654,20 +654,15 @@ def encode_pipeline_jax(image: RasterImage, opts: EncoderOptions) -> CompressedI
     return encode_pipeline_jax_batch([image], opts)[0]
 
 
-def decode_pipeline_jax_batch(
-    images: List[CompressedImage], _defer: bool = False
-) -> List[RasterImage]:
-    """Decode a batch of SAME-SHAPE compressed images in one dispatch.
-    _defer=True returns the un-fetched device pixels (stream pipelining)."""
+def assemble_wire_batch(images: List[CompressedImage], nl: int):
+    """Stack a same-shape batch's container fields into the batched wire
+    arrays decode_exec consumes: (states, streams, bits, offpk, vparams,
+    wparams, qdiv) as numpy arrays (streams zero-padded to a shared
+    power-of-two width). Shared by the single-chip batch decode and the
+    SPMD ShardedDecoder."""
     meta = images[0].metadata
     C = meta.num_channels
     B = len(images)
-    nl = images[0].num_lanes
-    mode = images[0].mode
-    for im in images:
-        if im.metadata != meta or im.num_lanes != nl or im.mode != mode:
-            raise ValueError("batch must share shape, colorspace, lanes and mode")
-    prog = get_program(meta.height, meta.width, BASE_FRAC_DEPTH, nl, C, mode)
 
     maxw = 1
     for im in images:
@@ -705,17 +700,36 @@ def decode_pipeline_jax_batch(
 
     # Per-image dequantization tables: a same-shape batch may mix quality
     # levels (stream chunking / ShardedDecoder hand in arbitrary lists).
-    qdiv = jnp.asarray(
-        np.stack(
-            [
-                _qdiv_array(
-                    np.asarray(im.quantization_matrix, dtype=np.int32),
-                    BASE_FRAC_DEPTH,
-                )
-                for im in images
-            ]
-        )
+    qdiv = np.stack(
+        [
+            _qdiv_array(
+                np.asarray(im.quantization_matrix, dtype=np.int32),
+                BASE_FRAC_DEPTH,
+            )
+            for im in images
+        ]
     )
+    return states, streams, bits, offpk, vparams, wparams, qdiv
+
+
+def decode_pipeline_jax_batch(
+    images: List[CompressedImage], _defer: bool = False
+) -> List[RasterImage]:
+    """Decode a batch of SAME-SHAPE compressed images in one dispatch.
+    _defer=True returns the un-fetched device pixels (stream pipelining)."""
+    meta = images[0].metadata
+    C = meta.num_channels
+    nl = images[0].num_lanes
+    mode = images[0].mode
+    for im in images:
+        if im.metadata != meta or im.num_lanes != nl or im.mode != mode:
+            raise ValueError("batch must share shape, colorspace, lanes and mode")
+    prog = get_program(meta.height, meta.width, BASE_FRAC_DEPTH, nl, C, mode)
+
+    states, streams, bits, offpk, vparams, wparams, qdiv = assemble_wire_batch(
+        images, nl
+    )
+    qdiv = jnp.asarray(qdiv)
 
     pixels_dev = prog.decode_exec(
         jnp.asarray(states),

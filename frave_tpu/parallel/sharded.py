@@ -47,17 +47,10 @@ try:  # JAX >= 0.4.35 exposes shard_map at top level
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
-from ..images import (
-    AnsContextTables,
-    ChannelData,
-    CompressedImage,
-    ColorSpace,
-    ImageMetadata,
-)
-from ..entropy.tables import ALPHABET_SIZE, CONTEXT_AMOUNT, context_from_histogram
+from ..images import ColorSpace, ImageMetadata
+from ..entropy.tables import ALPHABET_SIZE, CONTEXT_AMOUNT
 from ..fractal.geometry import BASE_FRAC_DEPTH, get_geometry
-from ..fractal.schedule import default_num_lanes, get_schedule, get_stream_perm
-from ..ops.rans import build_stream
+from ..fractal.schedule import default_num_lanes, get_schedule
 from ..ops import jax_ops as J
 from ..ops.rans_jax import encode_scan
 from ..codec.options import EncoderOptions, quantization_matrix
@@ -132,8 +125,112 @@ class ShardedEncoder:
         B = self.batch
         Bl = B // dp
 
+        # ---- static halo-exchange plan (the boundary-residue `ppermute`
+        # component, SURVEY.md section 2.3 SP/CP row vs prediction.rs:39-53
+        # neighbour reads). Tiles shard contiguously over tp; the schedule
+        # is RE-GROUPED so each shard analyzes exactly the symbols whose
+        # target coefficient it owns. Remote references are then only the
+        # neighbour taps that cross the tile-band boundary — a true halo,
+        # known statically — so instead of rebuilding the full plane with
+        # all_gather, each shard ships just those boundary values to its
+        # lattice neighbours: one `lax.ppermute` ring per shard offset.
+        # Falls back to all_gather when the halo wouldn't be smaller than
+        # the plane (degenerate tiny-image shards).
+        own_size = (Tp // tp) * N
+        self._halo = None  # (deltas, sizes, send_idx arrays)
+        self._inv_perm = None
+        if tp > 1:
+            refs0 = np.concatenate([sc_p[:, None], snbr_p], axis=1).astype(
+                np.int64
+            )  # [Kp, 7]; n_slots_pad marks absent
+            owner_k = np.where(
+                sc_p < n_slots_pad, sc_p // own_size, tp - 1
+            ).astype(np.int64)
+            counts = np.bincount(owner_k, minlength=tp)
+            Kg = int(counts.max())
+            Kp2 = Kg * tp
+            # grouped k-order: shard-major, original order within a shard
+            order = np.argsort(owner_k, kind="stable")  # [Kp]
+            perm_g = np.full(Kp2, -1, dtype=np.int64)
+            pos = 0
+            start = 0
+            for s in range(tp):
+                cnt = int(counts[s])
+                perm_g[s * Kg : s * Kg + cnt] = order[start : start + cnt]
+                start += cnt
+            pad_g = perm_g < 0
+            safe_g = np.where(pad_g, 0, perm_g)
+            # inverse: original k -> grouped position (for un-permuting the
+            # analyze outputs before the lane-grid reshape)
+            inv = np.empty(Kp, dtype=np.int64)
+            inv[perm_g[~pad_g]] = np.nonzero(~pad_g)[0]
+
+            refs = np.where(pad_g[:, None], n_slots_pad, refs0[safe_g])
+            send: dict = {}  # delta -> per-src local slot arrays
+            for s in range(tp):
+                r = refs[s * Kg : (s + 1) * Kg].reshape(-1)
+                r = r[r < n_slots_pad]
+                remote = np.unique(r[r // own_size != s])
+                owners = remote // own_size
+                for o in np.unique(owners):
+                    delta = int((s - o) % tp)
+                    lst = send.setdefault(delta, [None] * tp)
+                    lst[int(o)] = remote[owners == o] - o * own_size
+            deltas = sorted(send)
+            Hs = [
+                max(len(a) for a in send[d] if a is not None) for d in deltas
+            ]
+            total_halo = int(sum(Hs))
+            if total_halo < own_size:
+                base = {}
+                acc = own_size
+                for d, Hd in zip(deltas, Hs):
+                    base[d] = acc
+                    acc += Hd
+                zero_idx = acc  # one zero slot at the end of the local plane
+                send_idx = []
+                for d, Hd in zip(deltas, Hs):
+                    arr = np.zeros((tp, Hd), dtype=np.int32)
+                    for src in range(tp):
+                        a = send[d][src]
+                        if a is not None:
+                            arr[src, : len(a)] = a
+                    send_idx.append(arr.reshape(-1))  # [tp*Hd], P("tp")
+                # remap grouped references to local-plane indices per shard
+                remap = np.full((Kp2, 7), zero_idx, dtype=np.int64)
+                for s in range(tp):
+                    r = refs[s * Kg : (s + 1) * Kg]
+                    o = r // own_size
+                    out = np.full(r.shape, zero_idx, dtype=np.int64)
+                    mine = o == s
+                    out[mine] = r[mine] - s * own_size
+                    for d in deltas:
+                        src = (s - d) % tp
+                        a = send[d][src]
+                        if a is None or src == s:
+                            continue
+                        m = (o == src) & (r < n_slots_pad)
+                        if not m.any():
+                            continue
+                        glob = a + src * own_size  # sorted
+                        out[m] = base[d] + np.searchsorted(glob, r[m])
+                    remap[s * Kg : (s + 1) * Kg] = out
+                self._halo = (tuple(deltas), tuple(Hs), send_idx)
+                self._inv_perm = inv
+                # re-lay-out every per-symbol schedule tensor in grouped
+                # order; padding positions are invalid
+                sc_p = remap[:, 0].astype(np.int32)
+                snbr_p = remap[:, 1:].astype(np.int32)
+                svalid = np.where(pad_g, False, svalid[safe_g])
+                slf_p = np.where(pad_g, False, slf_p[safe_g])
+                sgrp_p = np.where(pad_g, 0, sgrp_p[safe_g])
+                sfbkt_p = np.where(pad_g, -1, sfbkt_p[safe_g])
+                Kp = Kp2
+        halo = self._halo
+        self.halo_enabled = halo is not None
+
         def analyze_shard(pixels, leaf_safe_l, leaf_mask_l, sc_l, snbr_l,
-                          svalid_l, slf_l, sgrp_l, sfbkt_l, qdiv):
+                          svalid_l, slf_l, sgrp_l, sfbkt_l, qdiv, *send_idx_l):
             # pixels: [Bl, C, HW]; tile/schedule tensors: local tp slices
             leaves = jnp.where(
                 leaf_mask_l[None, None], pixels[:, :, leaf_safe_l], 0
@@ -141,12 +238,25 @@ class ShardedEncoder:
             coef = J.forward_lifting(leaves, leaf_mask_l[None, None], depth)
             qc = J.quantize(coef, qdiv[None, None, None, :])
             qflat_l = qc.reshape(Bl, C, -1)
-            qflat = jax.lax.all_gather(
-                qflat_l, "tp", axis=2, tiled=True
-            )  # [Bl, C, Tp*N]
-            qpad = jnp.concatenate(
-                [qflat, jnp.zeros((Bl, C, 1), jnp.int32)], axis=2
-            )
+            if halo is not None:
+                # boundary-residue exchange: one ppermute ring per shard
+                # offset, carrying only the statically-known needed slots
+                parts = [qflat_l]
+                for d, sidx in zip(halo[0], send_idx_l):
+                    sv = qflat_l[:, :, sidx]  # [Bl, C, H_d]
+                    rv = jax.lax.ppermute(
+                        sv, "tp", perm=[(i, (i + d) % tp) for i in range(tp)]
+                    )
+                    parts.append(rv)
+                parts.append(jnp.zeros((Bl, C, 1), jnp.int32))
+                qpad = jnp.concatenate(parts, axis=2)  # local plane + halo
+            else:
+                qflat = jax.lax.all_gather(
+                    qflat_l, "tp", axis=2, tiled=True
+                )  # [Bl, C, Tp*N]
+                qpad = jnp.concatenate(
+                    [qflat, jnp.zeros((Bl, C, 1), jnp.int32)], axis=2
+                )
 
             vals = qpad[:, :, snbr_l]  # [Bl, C, Kl, 6]
             target = qpad[:, :, sc_l]  # [Bl, C, Kl]
@@ -224,14 +334,14 @@ class ShardedEncoder:
             P("dp"),  # pixels [B, C, HW]
             P("tp"),  # leaf_safe [Tp, N]
             P("tp"),  # leaf_mask
-            P("tp"),  # sc [Kp]
+            P("tp"),  # sc [Kp] (local-plane indices when halo enabled)
             P("tp"),  # snbr [Kp, 6]
             P("tp"),  # svalid
             P("tp"),  # slf
             P("tp"),  # sgrp
             P("tp"),  # sfbkt
             P(),  # qdiv
-        )
+        ) + ((P("tp"),) * len(halo[0]) if halo is not None else ())
         specs_out = (
             P("dp", None, "tp"),  # symbols [B, C, Kp]
             P("dp", None, "tp"),  # buckets
@@ -274,15 +384,84 @@ class ShardedEncoder:
             )
         )
 
-        # device-resident padded constants
+        # ---- on-device table finalization + packed-container assembly
+        # (tables_jax is the bit-exact twin of the host tables; the packed
+        # layout matches CodecProgram.encode_fused so the host-side fetch/
+        # unpack path is shared — no per-context host loops at any batch
+        # size, VERDICT round-1 item 5)
+        from ..codec.pipeline_jax import _HDR, _i32
+        from ..entropy.tables import _LAPLACE_ROWS
+        from ..entropy.tables_jax import finalize_contexts_device
+        from ..fractal.schedule import get_stream_perm
+        from ..ops.rans_jax import stream_compact
+
+        self.chan_hdr = _HDR + nl
+        self.hdr_words = C * self.chan_hdr + 1
+        KC = K * C  # global decode-order stream length (unpadded symbols)
+        kcp2 = (KC + 1) // 2
+        lap_dev = jnp.asarray(_LAPLACE_ROWS.astype(np.uint32))
+        perm_dev = jnp.asarray(
+            get_stream_perm(h, w, nl, depth, self.mode, C).astype(np.int32)
+        )
+
+        def finalize_tables(hist):
+            # hist [B, C, CA, 1024] -> device tables for entropy + wire
+            return finalize_contexts_device(hist, lap_dev)
+
+        self._finalize = jax.jit(finalize_tables)
+
+        def pack_one(states, words, flags, bits, off_mask, vparams, wparams):
+            # single image: states [C, NL], words/flags [R, C, NL],
+            # bits [C, CA], off_mask [C, CA, 1024] -> packed i32 vector
+            # (same layout as pipeline_jax.encode_fused:319-332)
+            stream, total = stream_compact(words, flags, perm_dev)
+            if KC % 2:
+                stream = jnp.concatenate([stream, jnp.zeros(1, jnp.uint16)])
+            spk = stream[0::2].astype(jnp.uint32) | (
+                stream[1::2].astype(jnp.uint32) << 16
+            )
+            om = off_mask.reshape(C, CONTEXT_AMOUNT, ALPHABET_SIZE // 32, 32)
+            shifts = jnp.arange(32, dtype=jnp.uint32)
+            ompk = jnp.sum(
+                om.astype(jnp.uint32) << shifts, axis=-1, dtype=jnp.uint32
+            )
+            headers = jnp.concatenate(
+                [
+                    _i32(vparams).reshape(C, -1),
+                    _i32(wparams).reshape(C, -1),
+                    bits.astype(jnp.int32),
+                    _i32(ompk).reshape(C, -1),
+                    _i32(states),
+                ],
+                axis=1,
+            )
+            return jnp.concatenate([headers.reshape(-1), total[None], _i32(spk)])
+
+        def pack_batch(states, words, flags, bits, off_mask, vparams, wparams):
+            return jax.vmap(pack_one, in_axes=(0, 1, 1, 0, 0, 0, 0))(
+                states, words, flags, bits, off_mask, vparams, wparams
+            )
+
+        self._pack = jax.jit(pack_batch)
+        self._kcp2 = kcp2
+
+        # device-resident padded constants (+ halo send-index tensors)
         self._consts = tuple(
             jnp.asarray(a)
             for a in (
                 leaf_safe, leaf_mask, sc_p, snbr_p, svalid, slf_p, sgrp_p, sfbkt_p,
             )
         )
+        self._halo_consts = (
+            tuple(jnp.asarray(a) for a in halo[2]) if halo is not None else ()
+        )
+        self._inv_dev = (
+            jnp.asarray(self._inv_perm.astype(np.int32))
+            if self._inv_perm is not None
+            else None
+        )
         self._qn = qn
-        self._Kp = Kp
+        self._Kp = R * nl  # lane-grid width (original padded symbol count)
 
     # ------------------------------------------------------------------
     def encode_batch(
@@ -319,27 +498,20 @@ class ShardedEncoder:
             batch.reshape(B, -1, C).transpose(0, 2, 1).astype(np.int32)
         )  # [B, C, HW]
         symbols, buckets, hist, vparams, wparams = self._analyze(
-            pixels, *self._consts, qdiv
+            pixels, *self._consts, qdiv, *self._halo_consts
         )
 
-        hist_np = np.asarray(hist)
-        freqs = np.zeros((B, C, CONTEXT_AMOUNT, ALPHABET_SIZE), dtype=np.uint32)
-        cdfs = np.zeros_like(freqs)
-        bits = np.zeros((B, C, CONTEXT_AMOUNT), dtype=np.int32)
-        tables = [[None] * C for _ in range(B)]
-        for b in range(B):
-            for c in range(C):
-                ctxs = [
-                    context_from_histogram(hist_np[b, c, k].astype(np.uint32), k)
-                    for k in range(CONTEXT_AMOUNT)
-                ]
-                tables[b][c] = ctxs
-                for k, t in enumerate(ctxs):
-                    freqs[b, c, k] = t.freqs
-                    cdfs[b, c, k] = t.cdf
-                    bits[b, c, k] = t.max_freq_bits
+        # context-table finalization stays ON DEVICE (bit-exact twin of the
+        # host tables, frave_tpu/entropy/tables_jax.py) — no B x C x 15
+        # host loop at any batch size
+        bits, freqs, cdfs, off_mask = self._finalize(hist)
 
         R, nl = self.rows, self.nl
+        if self._inv_dev is not None:
+            # analyze ran in owner-grouped symbol order (halo plan);
+            # restore canonical k-order before the lane-grid reshape
+            symbols = jnp.take(symbols, self._inv_dev, axis=2)
+            buckets = jnp.take(buckets, self._inv_dev, axis=2)
         sym_g = symbols.reshape(B, C, R, nl).transpose(2, 0, 1, 3)
         bkt_g = buckets.reshape(B, C, R, nl).transpose(2, 0, 1, 3)
         valid = jnp.asarray(
@@ -349,89 +521,100 @@ class ShardedEncoder:
             valid.reshape(R, nl)[:, None, None, :], (R, B, C, nl)
         )
         states, words, flags = self._entropy(
-            sym_g, bkt_g, val_g, jnp.asarray(freqs), jnp.asarray(cdfs), jnp.asarray(bits)
+            sym_g,
+            bkt_g,
+            val_g,
+            freqs.astype(jnp.uint32),
+            cdfs.astype(jnp.uint32),
+            bits,
         )
 
-        states_np = np.asarray(states)
-        words_np = np.asarray(words)  # [R, B, C, NL]
-        flags_np = np.asarray(flags)
-        vp_np = np.asarray(vparams)
-        wp_np = np.asarray(wparams)
-        perm = get_stream_perm(
-            self.height, self.width, nl, self.depth, self.mode, C
-        )
+        # on-device global-stream compaction + packed-container assembly;
+        # the fetch/unpack path is shared with the single-chip pipeline
+        packed = self._pack(states, words, flags, bits, off_mask, vparams, wparams)
+
+        from ..codec.pipeline_jax import _encode_finish
 
         meta = ImageMetadata(height=self.height, width=self.width, colorspace=cs)
-        out: List[bytes] = []
-        for b in range(B):
-            stream = build_stream(
-                [words_np[:, b, c] for c in range(C)],
-                [flags_np[:, b, c] for c in range(C)],
-                perm,
-            )
-            channel_data = []
-            for c in range(C):
-                channel_data.append(
-                    ChannelData(
-                        ans_contexts=[
-                            AnsContextTables(
-                                max_freq_bits=t.max_freq_bits,
-                                off_distribution_values=t.off_distribution_values,
-                                freqs=t.freqs,
-                                cdf=t.cdf,
-                            )
-                            for t in tables[b][c]
-                        ],
-                        lane_states=states_np[b, c].astype(np.uint32),
-                        value_prediction_parameters=vp_np[b, c],
-                        width_prediction_parameters=wp_np[b, c],
-                    )
-                )
-            out.append(
-                serialize(
-                    CompressedImage(
-                        metadata=meta,
-                        channel_data=channel_data + [None] * (3 - C),
-                        quality=opts.quality.value,
-                        num_lanes=nl,
-                        quantization_matrix=np.asarray(qm, dtype=np.uint16),
-                        mode=self.mode,
-                        stream=stream,
-                    )
-                )
-            )
-        return out
+        images = _encode_finish(self, packed, qm, meta, opts)
+        return [serialize(im) for im in images]
 
 
 @dataclasses.dataclass
 class ShardedDecoder:
-    """dp-sharded batched decode: images distributed over every device of
-    the mesh, one fused decode program per device shard."""
+    """SPMD dp-sharded batched decode: ONE shard_map program over the whole
+    mesh; the image batch axis is sharded across every device (all mesh
+    axes), the wavefront-schedule tensors are replicated device-resident
+    arguments, and each device runs the fused decode scan on its local
+    slice. Decode needs no collectives — images are independent — so the
+    program contains exactly zero communication; contrast the encode path
+    where the tile halo exchange rides `ppermute` (ShardedEncoder)."""
 
     height: int
     width: int
     channels: int
     mesh: Mesh
 
+    def __post_init__(self):
+        self._jit_cache = {}
+
+    def _program(self, nl: int, mode: str, B: int, W: int):
+        from ..codec.pipeline_jax import get_program
+
+        prog = get_program(
+            self.height, self.width, BASE_FRAC_DEPTH, nl, self.channels, mode
+        )
+        key = (nl, mode, B, W)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            axes = tuple(self.mesh.axis_names)  # batch shards over ALL axes
+            fn = jax.jit(
+                _shard_map(
+                    jax.vmap(
+                        prog._decode_fused, in_axes=(0,) * 7 + (None,) * 10
+                    ),
+                    mesh=self.mesh,
+                    in_specs=(P(axes),) * 7 + (P(),) * 10,
+                    out_specs=P(axes),
+                    check_vma=False,
+                ),
+            )
+            self._jit_cache[key] = fn
+        return prog, fn
+
     def decode_batch(self, blobs: List[bytes]):
         """Decode same-shape containers, images sharded across the mesh.
-        Returns decoded arrays in input order."""
-        import jax
-
+        Quality may vary per container (per-image dequantization tables).
+        Returns decoded RasterImages in input order."""
         from ..codec.container import deserialize
-        from ..codec.pipeline_jax import decode_pipeline_jax_batch
+        from ..codec.pipeline_jax import _decode_finish, assemble_wire_batch
 
         n_dev = self.mesh.devices.size
         images = [deserialize(b) for b in blobs]
-        B = len(images)
-        # shard round-robin; each shard decodes its slice with the
-        # single-chip fused program placed on its device
-        out = [None] * B
-        for d in range(min(n_dev, B)):
-            idx = list(range(d, B, n_dev))
-            dev = self.mesh.devices.reshape(-1)[d]
-            with jax.default_device(dev):
-                decoded = decode_pipeline_jax_batch([images[i] for i in idx])
-            for i, im in zip(idx, decoded):
-                out[i] = im
-        return out
+        B0 = len(images)
+        if B0 == 0:
+            return []
+        meta = images[0].metadata
+        nl = images[0].num_lanes
+        mode = images[0].mode
+        for im in images:
+            if im.metadata != meta or im.num_lanes != nl or im.mode != mode:
+                raise ValueError(
+                    "batch must share shape, colorspace, lanes and mode"
+                )
+        # pad the batch to a multiple of the device count (SPMD needs equal
+        # local shards); padding replicates the last image and is dropped
+        B = -(-B0 // n_dev) * n_dev
+        padded = images + [images[-1]] * (B - B0)
+
+        wire = assemble_wire_batch(padded, nl)
+        prog, fn = self._program(nl, mode, B, wire[1].shape[-1])
+        pixels_dev = fn(
+            *(jnp.asarray(a) for a in wire),
+            prog._lap,
+            *prog._dec_args,
+        )
+        out = _decode_finish(
+            pixels_dev, meta, self.channels, [im.quality for im in padded]
+        )
+        return out[:B0]
