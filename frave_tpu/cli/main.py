@@ -63,6 +63,7 @@ def _opts(args):
         quality=EncoderQuality[args.quality.upper()],
         backend=args.backend,
         verbose=getattr(args, "verbose", False),
+        color_transform=getattr(args, "color_transform", "auto"),
     )
 
 
@@ -218,6 +219,14 @@ def main(argv=None) -> int:
             default="lossless",
             choices=["lossless", "high", "medium", "low"],
         ),
+        color=lambda p: p.add_argument(
+            "--color-transform",
+            dest="color_transform",
+            default="auto",
+            choices=["auto", "trial", "none", "subtract-green", "ycocg"],
+            help="RGB coding transform: auto = per-image proxy selection, "
+            "trial = exact (encodes every candidate, keeps smallest)",
+        ),
     )
 
     pe = sub.add_parser("encode", help="encode an image to .frv")
@@ -225,6 +234,7 @@ def main(argv=None) -> int:
     pe.add_argument("-o", "--output")
     common["backend"](pe)
     common["quality"](pe)
+    common["color"](pe)
     pe.set_defaults(fn=cmd_encode)
 
     pd = sub.add_parser("decode", help="decode a .frv file")
@@ -238,6 +248,7 @@ def main(argv=None) -> int:
     pb.add_argument("-o", "--output", help="decoded-output dir (default ./output)")
     common["backend"](pb)
     common["quality"](pb)
+    common["color"](pb)
     pb.set_defaults(fn=cmd_bench)
 
     po = sub.add_parser("optimize", help="rate/distortion sweep across qualities")

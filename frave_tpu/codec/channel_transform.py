@@ -1,24 +1,39 @@
 """Channel transform stage.
 
 Reference: crates/libfri/src/stages/channel_transform.rs:3-10 — an identity
-placeholder with RGB->YCbCr left as a TODO. Here the stage is functional:
-the default RGB coding transform is the reversible **subtract-green**
-transform (as in WebP lossless): R' = (R - G) mod 256, B' = (B - G) mod
-256, G' = G. It is exactly invertible, keeps every plane in [0, 255] (so
-the shared 1024-symbol residual alphabet still covers all residuals), and
-decorrelates typical RGB content for a 30-60% rate reduction. The
-transformed colorspace travels in the container under the YCBCR wire
-encoding (images.rs:8-39; the reference declares but never produces it).
+placeholder with RGB->YCbCr left as a TODO. Here the stage is functional
+and ADAPTIVE (format v7): each image carries an explicit transform id and
+the encoder picks the cheapest candidate by a gradient-entropy proxy.
 
-A full reversible YCbCr (RCT) expands chroma ranges to +-255 and would
-need per-channel alphabet sizing — staged as a format v5 feature.
+Transforms (all keep every coding plane in [0, 255], so the shared
+1024-symbol residual alphabet still covers all residuals):
+  0 NONE              identity
+  1 SUBGREEN          R' = (R-G) mod 256, B' = (B-G) mod 256 (WebP-style)
+  2 SUBGREEN_CLAMPED  lossy-mode variant: clamped difference (a
+                      quantization error in G cannot wrap R/B by 256)
+  3 YCOCG             YCoCg-R lifting with mod-256 wrap on Y/Co/Cg —
+                      exactly invertible, usually decorrelates better
+                      than subtract-green
+
+The mod-256 wrap trick sidesteps the chroma range expansion that a plain
+reversible YCbCr would need (+-255 chroma -> per-channel alphabet); the
+cost is that content with saturated chroma steps can wrap, inflating
+gradients — exactly what the adaptive proxy detects, falling back to
+NONE/SUBGREEN per image.
 """
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import numpy as np
 
-from ..images import ColorSpace, ImageMetadata, RasterImage
+from ..images import ColorSpace, RasterImage
+
+T_NONE = 0
+T_SUBGREEN = 1
+T_SUBGREEN_CLAMPED = 2
+T_YCOCG = 3
 
 
 def subtract_green(arr: np.ndarray) -> np.ndarray:
@@ -55,44 +70,110 @@ def add_green_clamped(arr: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def forward(image: RasterImage, color_transform: str, lossless: bool = True) -> RasterImage:
-    """Encode-side transform into the coding colorspace.
+def _signed(x: np.ndarray) -> np.ndarray:
+    """Mod-256 value -> signed representative in [-128, 127]."""
+    return ((x + 128) & 255) - 128
 
-    LOSSLESS encodes use the exactly-invertible mod-256 transform; lossy
-    encodes use the clamped variant (mod-256 would let a quantization
-    error in G wrap R/B by 256). The variant is implied on the wire by
-    the container's quality byte, so no extra field is needed.
-    """
+
+def ycocg(arr: np.ndarray) -> np.ndarray:
+    """YCoCg-R-style lifting computed entirely in Z/256: every lifting
+    step wraps mod 256 and half-steps use the SIGNED REPRESENTATIVE of
+    the wrapped plane, so each step is a bijection on uint8 and the whole
+    transform is exactly invertible without chroma range expansion.
+    Behaves identically to true YCoCg-R wherever |R-B| and |G-t| < 128
+    (the common case); elsewhere it wraps like subtract-green does."""
+    r = arr[:, :, 0].astype(np.int32)
+    g = arr[:, :, 1].astype(np.int32)
+    b = arr[:, :, 2].astype(np.int32)
+    co = (r - b) & 255
+    t = (b + (_signed(co) >> 1)) & 255
+    cg = (g - t) & 255
+    y = (t + (_signed(cg) >> 1)) & 255
+    return np.stack([y, co, cg], axis=-1).astype(np.uint8)
+
+
+def ycocg_inverse(arr: np.ndarray) -> np.ndarray:
+    """Exact inverse of ycocg: lifting steps reversed in Z/256."""
+    y = arr[:, :, 0].astype(np.int32)
+    co = arr[:, :, 1].astype(np.int32)
+    cg = arr[:, :, 2].astype(np.int32)
+    t = (y - (_signed(cg) >> 1)) & 255
+    g = (cg + t) & 255
+    b = (t - (_signed(co) >> 1)) & 255
+    r = (co + b) & 255
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+_FORWARD = {
+    T_NONE: lambda a: a,
+    T_SUBGREEN: subtract_green,
+    T_SUBGREEN_CLAMPED: subtract_green_clamped,
+    T_YCOCG: ycocg,
+}
+_INVERSE = {
+    T_NONE: lambda a: a,
+    T_SUBGREEN: add_green,
+    T_SUBGREEN_CLAMPED: add_green_clamped,
+    T_YCOCG: ycocg_inverse,
+}
+
+
+def _proxy_cost(planes: np.ndarray) -> float:
+    """Gradient-entropy proxy for coded size: sum of log2(1+|dx|)+
+    log2(1+|dy|) over all planes. Wrap artifacts show up as large
+    gradients, which is exactly what makes them expensive to code."""
+    a = planes.astype(np.int32)
+    dx = np.abs(np.diff(a, axis=1))
+    dy = np.abs(np.diff(a, axis=0))
+    return float(np.log2(1.0 + dx).sum() + np.log2(1.0 + dy).sum())
+
+
+def select_transform(arr: np.ndarray, lossless: bool) -> int:
+    """Adaptive per-image choice by the gradient proxy. Lossless
+    candidates: NONE / SUBGREEN / YCOCG (all exactly invertible). Lossy:
+    NONE / SUBGREEN_CLAMPED (mod-256 wraps amplify quantization error,
+    so wrapping transforms are excluded — see round-1 regression test)."""
+    if lossless:
+        cands = (T_NONE, T_SUBGREEN, T_YCOCG)
+    else:
+        cands = (T_NONE, T_SUBGREEN_CLAMPED)
+    costs = {t: _proxy_cost(_FORWARD[t](arr)) for t in cands}
+    return min(costs, key=costs.get)
+
+
+def forward(
+    image: RasterImage, color_transform: str, lossless: bool = True
+) -> Tuple[RasterImage, int]:
+    """Encode-side transform into the coding colorspace. Returns the
+    transformed image (metadata unchanged — the wire colorspace stays the
+    source colorspace; the applied transform travels as the container's
+    transform byte, format v7) and the transform id."""
     meta = image.metadata
     if meta.colorspace != ColorSpace.RGB or color_transform == "none":
-        return image
-    if color_transform not in ("auto", "subtract-green"):
+        return image, T_NONE
+    if color_transform == "auto":
+        tid = select_transform(image.data, lossless)
+    elif color_transform == "subtract-green":
+        tid = T_SUBGREEN if lossless else T_SUBGREEN_CLAMPED
+    elif color_transform == "ycocg":
+        if not lossless:
+            raise ValueError("ycocg transform is lossless-only; use auto")
+        tid = T_YCOCG
+    else:
         raise ValueError(f"unknown color transform {color_transform!r}")
-    data = subtract_green(image.data) if lossless else subtract_green_clamped(image.data)
-    return RasterImage(
-        metadata=ImageMetadata(
-            height=meta.height,
-            width=meta.width,
-            colorspace=ColorSpace.YCBCR,
-            variant=meta.variant,
-        ),
-        data=data,
+    if tid == T_NONE:
+        return image, T_NONE
+    return (
+        RasterImage(metadata=meta, data=_FORWARD[tid](image.data)),
+        tid,
     )
 
 
-def inverse(image: RasterImage, lossless: bool = True) -> RasterImage:
-    """Decode-side transform back to display colorspace; the variant is
-    selected by the container's quality (see forward)."""
-    meta = image.metadata
-    if meta.colorspace != ColorSpace.YCBCR:
+def inverse(image: RasterImage, transform: int) -> RasterImage:
+    """Decode-side inverse selected by the container's transform byte."""
+    if transform == T_NONE:
         return image
-    data = add_green(image.data) if lossless else add_green_clamped(image.data)
-    return RasterImage(
-        metadata=ImageMetadata(
-            height=meta.height,
-            width=meta.width,
-            colorspace=ColorSpace.RGB,
-            variant=meta.variant,
-        ),
-        data=data,
-    )
+    fn = _INVERSE.get(int(transform))
+    if fn is None:
+        raise ValueError(f"unknown channel transform id {transform}")
+    return RasterImage(metadata=image.metadata, data=fn(image.data))

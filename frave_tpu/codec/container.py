@@ -33,7 +33,8 @@ from ..images import (
 from ..entropy.tables import ALPHABET_SIZE, CONTEXT_AMOUNT, context_from_wire
 
 MAGIC = b"frif"
-VERSION = 6
+VERSION = 7  # v7: explicit per-image channel-transform byte
+_MAX_TRANSFORM = 3  # codec/channel_transform.py T_* ids
 _MODES = ("parallel", "parity")  # wire encodings 0, 1
 MARKER_PRD = 0xFFBB
 MARKER_EHD = 0xFFB2
@@ -58,6 +59,7 @@ def serialize(image: CompressedImage) -> bytes:
     out += struct.pack("<B", image.quality)
     out += struct.pack("<B", _MODES.index(image.mode))
     out += struct.pack("<H", image.num_lanes)
+    out += struct.pack("<B", image.transform)
     qm = np.asarray(image.quantization_matrix, dtype=np.uint16)
     assert qm.shape == (32,)
     out += qm.astype("<u2").tobytes()
@@ -81,9 +83,18 @@ def serialize(image: CompressedImage) -> bytes:
 
         out += struct.pack("<H", MARKER_STT)
         nl = image.num_lanes
-        states = np.asarray(cd.lane_states, dtype="<u4")
+        states = np.asarray(cd.lane_states, dtype=np.uint32)
         assert states.shape == (nl,)
-        out += states.tobytes()
+        # compact state width (v7): rANS states live in [2^16, 2^32); on
+        # cheap content they stay below 2^17 (each lane's state grows by
+        # its lanes' total information), so (state - 2^16) fits u16 —
+        # halves the dominant overhead of flat images. Width byte: 2 or 4.
+        if states.size and int(states.max()) < (1 << 17) and int(states.min()) >= (1 << 16):
+            out += struct.pack("<B", 2)
+            out += (states - (1 << 16)).astype("<u2").tobytes()
+        else:
+            out += struct.pack("<B", 4)
+            out += states.astype("<u4").tobytes()
         out += struct.pack("<H", MARKER_EOC)
 
     stream = np.asarray(
@@ -152,6 +163,9 @@ def deserialize(data: bytes) -> CompressedImage:
     nl = r.u16()
     if nl < 1:
         raise SerializeError("lane count must be >= 1")
+    transform = r.u8()
+    if transform > _MAX_TRANSFORM:
+        raise SerializeError(f"unknown channel transform id {transform}")
     qm = np.frombuffer(r.take(64), dtype="<u2").astype(np.int32)
     meta = ImageMetadata(height=height, width=width, colorspace=colorspace, variant=variant)
 
@@ -187,7 +201,17 @@ def deserialize(data: bytes) -> CompressedImage:
 
         if r.u16() != MARKER_STT:
             raise SerializeError("expected STT segment")
-        states = np.frombuffer(r.take(4 * nl), dtype="<u4").copy()
+        state_width = r.u8()
+        if state_width == 2:
+            states = np.frombuffer(r.take(2 * nl), dtype="<u2").astype(
+                np.uint32
+            ) + (1 << 16)
+        elif state_width == 4:
+            states = np.frombuffer(r.take(4 * nl), dtype="<u4").astype(
+                np.uint32
+            )
+        else:
+            raise SerializeError(f"invalid lane-state width {state_width}")
         if r.u16() != MARKER_EOC:
             raise SerializeError("expected EOC")
         channel_data.append(
@@ -213,4 +237,5 @@ def deserialize(data: bytes) -> CompressedImage:
         quantization_matrix=qm,
         mode=mode,
         stream=stream,
+        transform=transform,
     )

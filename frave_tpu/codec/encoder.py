@@ -53,13 +53,42 @@ class FRIEncoder:
             image = RasterImage.from_array(arr, colorspace)
 
         backend = _select_backend(self.opts)
+        if (
+            self.opts.color_transform == "trial"
+            and image.metadata.colorspace == ColorSpace.RGB
+        ):
+            return self._encode_trial(image, backend)
+        return self._encode_one(image, backend, self.opts)
+
+    def _encode_one(self, image, backend, opts) -> bytes:
         if backend == "jax":
             from .pipeline_jax import encode_pipeline_jax
 
-            compressed = encode_pipeline_jax(image, self.opts)
+            compressed = encode_pipeline_jax(image, opts)
         else:
-            compressed = encode_pipeline_np(image, self.opts)
+            compressed = encode_pipeline_np(image, opts)
         return serialize(compressed)
+
+    def _encode_trial(self, image, backend) -> bytes:
+        """color_transform="trial": encode with every candidate transform
+        and keep the smallest container. Exact where the gradient proxy of
+        "auto" (channel_transform.select_transform) can misrank — at the
+        cost of one encode per candidate; meant for rate-critical offline
+        encodes (cli optimize uses it)."""
+        import dataclasses
+
+        lossless = self.opts.quality.name == "LOSSLESS"
+        cands = ("none", "subtract-green", "ycocg") if lossless else (
+            "none",
+            "subtract-green",
+        )
+        best = None
+        for ctf in cands:
+            opts = dataclasses.replace(self.opts, color_transform=ctf)
+            blob = self._encode_one(image, backend, opts)
+            if best is None or len(blob) < len(best):
+                best = blob
+        return best
 
 
 def encode(

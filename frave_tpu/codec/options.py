@@ -65,3 +65,34 @@ class EncoderOptions:
     # RGB coding transform (codec/channel_transform.py): "auto" (default,
     # reversible subtract-green), or "none"
     color_transform: str = "auto"
+    # External predictor-parameter injection (reference
+    # EncoderOpts.value_prediction_params, encoder.rs:58-64): when set,
+    # the in-encoder least-squares fit is skipped and these parameters are
+    # used (and serialized) verbatim — pins a fit for reproduction or lets
+    # an outer search (cli optimize) drive the encoder. Shapes [3, 6]
+    # (single channel) or [C, 3, 6]; f32.
+    value_prediction_params: Optional[np.ndarray] = None
+    width_prediction_params: Optional[np.ndarray] = None
+
+    def prediction_overrides(self, channels: int):
+        """Normalized ([C,3,6] f32 vp, wp, use_flag) for the pipelines.
+        Both-or-neither: a value override without a width override keeps
+        the width fit (widths only shape rate, never correctness)."""
+        if self.value_prediction_params is None:
+            return None
+
+        def norm(p):
+            if p is None:
+                return np.zeros((channels, 3, 6), dtype=np.float32)
+            a = np.asarray(p, dtype=np.float32)
+            if a.shape == (3, 6):
+                a = np.broadcast_to(a, (channels, 3, 6))
+            if a.shape != (channels, 3, 6):
+                raise ValueError(
+                    f"prediction params must be [3,6] or [{channels},3,6]"
+                )
+            return np.ascontiguousarray(a)
+
+        return norm(self.value_prediction_params), norm(
+            self.width_prediction_params
+        ), self.width_prediction_params is not None

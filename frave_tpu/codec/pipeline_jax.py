@@ -201,7 +201,8 @@ class CodecProgram:
 
         # ------------- fused encode (single image [C, HW]) -------------
         def encode_fused(
-            pixels, qdiv, leaf_safe, leaf_mask, sc, snbr_safe, slf, sgrp,
+            pixels, qdiv, vp_ovr, wp_ovr, use_ovr, use_wovr,
+            leaf_safe, leaf_mask, sc, snbr_safe, slf, sgrp,
             sfbkt, lap, perm
         ):
             leaves = jnp.where(
@@ -242,6 +243,11 @@ class CodecProgram:
             G = jnp.stack(Gs, axis=1)  # [C, 3, 6, 6]
             bv = jnp.stack(bs, axis=1)
             vparams = _gram_solve(G, bv)  # [C, 3, 6]
+            # external predictor injection (EncoderOpts.value_prediction_
+            # params, encoder.rs:58-64): pin serialized params verbatim;
+            # the width fit below then models residuals of the PINNED
+            # value predictor
+            vparams = jnp.where(use_ovr, vp_ovr, vparams)
 
             Gws, bws = [], []
             for g, (lo, hi) in enumerate(group_ranges):
@@ -255,6 +261,7 @@ class CodecProgram:
             Gw = jnp.stack(Gws, axis=1)
             bw = jnp.stack(bws, axis=1)
             wparams = _gram_solve(Gw, bw)
+            wparams = jnp.where(use_wovr, wp_ovr, wparams)
 
             # --- contexts + symbols (parallel over all K on encode)
             buckets, preds = jax.vmap(
@@ -327,9 +334,13 @@ class CodecProgram:
                 ],
                 axis=1,
             )  # [C, chan_hdr]
-            return jnp.concatenate(
+            packed = jnp.concatenate(
                 [headers.reshape(-1), total[None], _i32(spk)]
             )
+            # hist rides along for observability (per-context entropy,
+            # emit_coefficients — prediction.rs:209-218,306-313 analog);
+            # it is fetched only when verbose/emit_coefficients ask for it
+            return packed, hist
 
         # ------------- decode (single image) -------------
         def decode_fused(
@@ -430,12 +441,32 @@ class CodecProgram:
         self._dec_jit: Dict[int, callable] = {}
 
     # ---------------- batched jit entry points ----------------
-    def encode_exec(self, pixels_b: jnp.ndarray, qdiv: jnp.ndarray):
-        """pixels_b: [B, C, HW] int32 -> packed [B, hdr_words + kcp2] i32."""
+    def encode_exec(
+        self,
+        pixels_b: jnp.ndarray,
+        qdiv: jnp.ndarray,
+        overrides=None,
+    ):
+        """pixels_b: [B, C, HW] int32 -> (packed [B, hdr_words + kcp2] i32,
+        hist [B, C, CA, 1024] i32). `overrides` = (vp [C,3,6], wp, use_w)
+        pins externally-supplied predictor parameters."""
         B = pixels_b.shape[0]
+        C = self.channels
+        if overrides is None:
+            vp_ovr = jnp.zeros((C, 3, 6), jnp.float32)
+            wp_ovr = vp_ovr
+            use_v = jnp.asarray(False)
+            use_w = jnp.asarray(False)
+        else:
+            vp_np, wp_np, use_w_flag = overrides
+            vp_ovr = jnp.asarray(vp_np)
+            wp_ovr = jnp.asarray(wp_np)
+            use_v = jnp.asarray(True)
+            use_w = jnp.asarray(bool(use_w_flag))
         fn = self._enc_jit.get(B)
         if fn is None:
-            n_static = len(self._enc_args) + 2  # qdiv + schedule tensors + perm
+            # qdiv + overrides(4) + schedule tensors + perm
+            n_static = len(self._enc_args) + 6
             fn = jax.jit(
                 jax.vmap(
                     self._encode_fused,
@@ -443,7 +474,10 @@ class CodecProgram:
                 )
             )
             self._enc_jit[B] = fn
-        return fn(pixels_b, qdiv, *self._enc_args, self._perm)
+        return fn(
+            pixels_b, qdiv, vp_ovr, wp_ovr, use_v, use_w,
+            *self._enc_args, self._perm,
+        )
 
     def decode_exec(self, states, stream, wire_bits, offpk, vp, wp, qdiv):
         """Batched (axis 0) wire fields -> pixels [B, C, HW] uint8.
@@ -558,9 +592,11 @@ def _encode_dispatch(images: List[RasterImage], opts: EncoderOptions):
     from .channel_transform import forward as channel_forward
 
     lossless = opts.quality.name == "LOSSLESS"
-    images = [
+    pairs = [
         channel_forward(im, opts.color_transform, lossless) for im in images
     ]
+    images = [p[0] for p in pairs]
+    transforms = [p[1] for p in pairs]
     meta = images[0].metadata
     C = meta.num_channels
     for im in images:
@@ -577,7 +613,10 @@ def _encode_dispatch(images: List[RasterImage], opts: EncoderOptions):
             [im.data.reshape(-1, C).T.astype(np.int32) for im in images]
         )
     )  # [B, C, HW]
-    return prog, prog.encode_exec(pixels, qdiv), qm, meta
+    packed, hist = prog.encode_exec(
+        pixels, qdiv, opts.prediction_overrides(C)
+    )
+    return prog, (packed, hist), qm, (meta, transforms)
 
 
 def _encode_finish(prog, packed_dev, qm, meta, opts) -> List[CompressedImage]:
@@ -586,6 +625,12 @@ def _encode_finish(prog, packed_dev, qm, meta, opts) -> List[CompressedImage]:
     Two fetches: the fixed-size headers (with per-image stream totals),
     then a host-sliced prefix of the stream region sized by the largest
     total in the batch — worst-case padding never crosses the link."""
+    hist_dev = None
+    if isinstance(packed_dev, tuple):
+        packed_dev, hist_dev = packed_dev
+    transforms = None
+    if isinstance(meta, tuple):
+        meta, transforms = meta
     C = prog.channels
     hw = prog.hdr_words
     head = np.asarray(packed_dev[:, :hw])  # fetch 1 (small)
@@ -598,6 +643,33 @@ def _encode_finish(prog, packed_dev, qm, meta, opts) -> List[CompressedImage]:
     from ..metrics import get_metrics
 
     m = get_metrics()
+    m.verbose = m.verbose or getattr(opts, "verbose", False)
+    if hist_dev is not None and (
+        getattr(opts, "verbose", False)
+        or getattr(opts, "emit_coefficients", False)
+    ):
+        # per-context entropy observability (prediction.rs:209-218 debug
+        # metric + :306-313 verbose prints) — extra fetch only on request
+        hist_i = np.asarray(hist_dev)  # one host copy
+        hist = hist_i.astype(np.float64)
+        tot = hist.sum(axis=-1, keepdims=True)
+        p = np.where(tot > 0, hist / np.maximum(tot, 1), 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ent = -np.where(p > 0, p * np.log2(p), 0.0).sum(axis=-1)
+        for b in range(hist.shape[0]):
+            for c in range(C):
+                for k in range(hist.shape[2]):
+                    if tot[b, c, k, 0] > 0:
+                        m.record(
+                            f"encode/context_entropy_ch{c}_b{k}",
+                            float(ent[b, c, k]),
+                        )
+                if getattr(opts, "emit_coefficients", False):
+                    for k in range(hist.shape[2]):
+                        m.record_array(
+                            f"encode/context_hist_ch{c}_b{k}",
+                            hist_i[b, c, k],
+                        )
     out: List[CompressedImage] = []
     for b in range(head.shape[0]):
         total_b = int(totals[b])
@@ -616,6 +688,7 @@ def _encode_finish(prog, packed_dev, qm, meta, opts) -> List[CompressedImage]:
                 quantization_matrix=np.asarray(qm, dtype=np.uint16),
                 mode=opts.mode,
                 stream=stream_b,
+                transform=0 if transforms is None else transforms[b],
             )
         )
     return out
@@ -742,20 +815,9 @@ def decode_pipeline_jax_batch(
     )  # async launch; np.asarray below is the ONE fetch
     if _defer:
         return pixels_dev, meta, C
-    from .channel_transform import inverse as channel_inverse
-    from .options import EncoderQuality
-
-    pixels = np.asarray(pixels_dev)
-    return [
-        channel_inverse(
-            RasterImage(
-                metadata=im.metadata,
-                data=pixels[b].T.reshape(meta.height, meta.width, C),
-            ),
-            im.quality == EncoderQuality.LOSSLESS.value,
-        )
-        for b, im in enumerate(images)
-    ]
+    return _decode_finish(
+        pixels_dev, meta, C, [im.transform for im in images]
+    )
 
 
 def decode_pipeline_jax_stream(
@@ -764,21 +826,20 @@ def decode_pipeline_jax_stream(
     """Host/device-pipelined decode (double buffering, see
     encode_pipeline_jax_stream)."""
     out: List[RasterImage] = []
-    pending = None  # (pixels_dev, meta, C, count)
+    pending = None  # (pixels_dev, meta, C, transforms)
     for i in range(0, len(images), batch_size):
         chunk = images[i : i + batch_size]
         dev, meta, C = decode_pipeline_jax_batch(chunk, _defer=True)
         if pending is not None:
             out.extend(_decode_finish(*pending))
-        pending = (dev, meta, C, [im.quality for im in chunk])
+        pending = (dev, meta, C, [im.transform for im in chunk])
     if pending is not None:
         out.extend(_decode_finish(*pending))
     return out
 
 
-def _decode_finish(pixels_dev, meta, C, qualities=None) -> List[RasterImage]:
+def _decode_finish(pixels_dev, meta, C, transforms=None) -> List[RasterImage]:
     from .channel_transform import inverse as channel_inverse
-    from .options import EncoderQuality
 
     pixels = np.asarray(pixels_dev)
     return [
@@ -787,8 +848,7 @@ def _decode_finish(pixels_dev, meta, C, qualities=None) -> List[RasterImage]:
                 metadata=meta,
                 data=pixels[b].T.reshape(meta.height, meta.width, C),
             ),
-            qualities is None
-            or qualities[b] == EncoderQuality.LOSSLESS.value,
+            0 if transforms is None else transforms[b],
         )
         for b in range(pixels.shape[0])
     ]

@@ -48,7 +48,7 @@ from .options import EncoderOptions, quantization_matrix
 def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedImage:
     from .channel_transform import forward as channel_forward
 
-    image = channel_forward(
+    image, transform = channel_forward(
         image, opts.color_transform, opts.quality.name == "LOSSLESS"
     )
     meta = image.metadata
@@ -65,6 +65,7 @@ def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedIm
     nl = opts.num_lanes or default_num_lanes(sched.num_symbols)
 
     hf = ~sched.sched_lf
+    overrides = opts.prediction_overrides(C)
     channel_data: List[ChannelData] = []
     word_grids: List[np.ndarray] = []
     flag_grids: List[np.ndarray] = []
@@ -78,6 +79,13 @@ def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedIm
             sched.sched_group[hf].astype(np.int64),
             np.ones(int(hf.sum()), dtype=bool),
         )
+        if overrides is not None:
+            # external injection (EncoderOpts.value_prediction_params,
+            # encoder.rs:58-64): pin the serialized parameters verbatim
+            vp_ovr, wp_ovr, use_w = overrides
+            vparams = vp_ovr[ch]
+            if use_w:
+                wparams = wp_ovr[ch]
 
         # --- contexts for every symbol (prediction.rs:224-298), fully parallel
         vals = gather_neighbour_values(qflat[ch], sched.sched_nbr)
@@ -115,6 +123,18 @@ def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedIm
         m = get_metrics()
         m.verbose = m.verbose or opts.verbose
         m.record(f"encode/mean_abs_residual_ch{ch}", float(np.abs(residuals).mean()))
+        # per-context entropy (prediction.rs:209-218 get_entropy metric)
+        for b in range(CONTEXT_AMOUNT):
+            hb = np.bincount(
+                symbols[buckets == b].astype(np.int64), minlength=1
+            ).astype(np.float64)
+            tot = hb.sum()
+            if tot > 0:
+                p = hb[hb > 0] / tot
+                m.record(
+                    f"encode/context_entropy_ch{ch}_b{b}",
+                    float(-(p * np.log2(p)).sum()),
+                )
         m.record(
             f"encode/bpp_ch{ch}",
             16.0 * int(flag_grid.sum()) / (meta.height * meta.width),
@@ -155,6 +175,7 @@ def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedIm
         quantization_matrix=np.asarray(qm, dtype=np.uint16),
         mode=opts.mode,
         stream=stream,
+        transform=transform,
     )
 
 
@@ -218,9 +239,7 @@ def decode_pipeline_np(image: CompressedImage) -> RasterImage:
     pixels = inverse_lifting_np(coef, geo)  # [C, H*W] uint8
     data = pixels.T.reshape(meta.height, meta.width, C)
     from .channel_transform import inverse as channel_inverse
-    from .options import EncoderQuality
 
     return channel_inverse(
-        RasterImage(metadata=meta, data=data),
-        image.quality == EncoderQuality.LOSSLESS.value,
+        RasterImage(metadata=meta, data=data), image.transform
     )

@@ -148,3 +148,6 @@ class CompressedImage:
     quantization_matrix: Optional[np.ndarray] = None  # [32] u16
     mode: str = "parallel"  # context-model mode (see EncoderOptions.mode)
     stream: Optional[np.ndarray] = None  # [W] u16 global word stream
+    # channel-transform id applied before coding (format v7; see
+    # codec/channel_transform.py T_* constants)
+    transform: int = 0

