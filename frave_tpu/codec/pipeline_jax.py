@@ -439,6 +439,11 @@ class CodecProgram:
         self._decode_fused = decode_fused
         self._enc_jit: Dict[int, callable] = {}
         self._dec_jit: Dict[int, callable] = {}
+        # learned stream-size guess (i32 words) for the single speculative
+        # fetch in _encode_finish; device->host round trips cost ~50ms
+        # latency each in this environment, so folding the header fetch
+        # and the stream fetch into one pays for itself immediately
+        self.fetch_guess = 0
 
     # ---------------- batched jit entry points ----------------
     def encode_exec(
@@ -633,13 +638,25 @@ def _encode_finish(prog, packed_dev, qm, meta, opts) -> List[CompressedImage]:
         meta, transforms = meta
     C = prog.channels
     hw = prog.hdr_words
-    head = np.asarray(packed_dev[:, :hw])  # fetch 1 (small)
+    # ONE speculative fetch: headers + a learned-size stream prefix.
+    # Only when the guess is short (new content regime) does a second
+    # exact fetch for the remainder happen; the guess then adapts.
+    guess = min(int(getattr(prog, "fetch_guess", 0)), prog.kcp2)
+    chunk = np.asarray(packed_dev[:, : hw + guess])
+    head = chunk[:, :hw]
     totals = head[:, hw - 1]
     need = (int(totals.max()) + 1) // 2 if totals.size else 0
-    if need > 0:
-        tail = np.asarray(packed_dev[:, hw : hw + need])  # fetch 2 (exact)
+    if need <= guess:
+        tail = chunk[:, hw : hw + need]
+    elif need > 0:
+        rest = np.asarray(packed_dev[:, hw + guess : hw + need])
+        tail = np.concatenate([chunk[:, hw:], rest], axis=1)
     else:
         tail = np.zeros((head.shape[0], 0), dtype=np.int32)
+    try:
+        prog.fetch_guess = max(guess, min(prog.kcp2, need + need // 4 + 64))
+    except AttributeError:
+        pass  # duck-typed callers (ShardedEncoder) without the attribute
     from ..metrics import get_metrics
 
     m = get_metrics()

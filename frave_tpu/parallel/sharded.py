@@ -443,7 +443,8 @@ class ShardedEncoder:
             )
 
         self._pack = jax.jit(pack_batch)
-        self._kcp2 = kcp2
+        self.kcp2 = kcp2
+        self.fetch_guess = 0
 
         # device-resident padded constants (+ halo send-index tensors)
         self._consts = tuple(
