@@ -49,7 +49,31 @@ def make_corpus(n: int, h: int, w: int, c: int, seed: int = 0) -> np.ndarray:
     return out
 
 
-def bench_jax(corpus: np.ndarray, reps: int = 4) -> float:
+def tunnel_health() -> dict:
+    """Quantify this environment's device-tunnel state so throughput
+    numbers can be read in context: the axon TPU tunnel's fetch latency
+    varies session-to-session (50ms healthy; minutes-long outages have
+    been observed) and directly bounds small-batch codec throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.ones((1024, 1024), jnp.float32)
+    t0 = time.perf_counter()
+    (a @ a).block_until_ready()
+    matmul_s = time.perf_counter() - t0
+    fetches = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(a[0, :8])
+        fetches.append(time.perf_counter() - t0)
+    return {
+        "platform": jax.devices()[0].platform,
+        "matmul_warm_s": round(matmul_s, 3),
+        "fetch_ms_median": round(1000 * sorted(fetches)[1], 1),
+    }
+
+
+def bench_jax(corpus: np.ndarray, reps: int = 6, batch_size: int = 64) -> float:
     """Batched encode -> container bytes -> batched decode, verified."""
     from frave_tpu import EncoderOptions, RasterImage
     from frave_tpu.codec.container import deserialize, serialize
@@ -65,10 +89,10 @@ def bench_jax(corpus: np.ndarray, reps: int = 4) -> float:
     def roundtrip():
         blobs = [
             serialize(ci)
-            for ci in encode_pipeline_jax_stream(imgs, opts, batch_size=32)
+            for ci in encode_pipeline_jax_stream(imgs, opts, batch_size=batch_size)
         ]
         outs = decode_pipeline_jax_stream(
-            [deserialize(b) for b in blobs], batch_size=32
+            [deserialize(b) for b in blobs], batch_size=batch_size
         )
         return blobs, outs
 
@@ -125,7 +149,8 @@ def bench_numpy_baseline(image: np.ndarray) -> float:
 
 def main():
     h = w = 256
-    corpus = make_corpus(64, h, w, 1, seed=42)
+    corpus = make_corpus(128, h, w, 1, seed=42)
+    health = tunnel_health()
     value = bench_jax(corpus)
     baseline = bench_native_baseline(corpus)
     print(
@@ -135,6 +160,7 @@ def main():
                 "value": round(value, 4),
                 "unit": "MP/s",
                 "vs_baseline": round(value / baseline, 4) if baseline > 0 else None,
+                "tunnel": health,
             }
         )
     )

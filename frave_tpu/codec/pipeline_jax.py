@@ -63,6 +63,7 @@ from ..ops.rans_jax import (
     LUT_BITS,
     decode_step_stream,
     encode_scan,
+    pack_freq_cdf,
     stream_compact,
 )
 from .options import EncoderOptions, quantization_matrix
@@ -210,13 +211,20 @@ class CodecProgram:
             ).astype(jnp.int32)  # [C, T, N]
             coef = J.forward_lifting(leaves, leaf_mask[None], depth)
             qcoef = J.quantize(coef, qdiv[None, None, :])
+            # int16 coefficient plane: values are bounded (|coef| <= 511
+            # for 8-bit input, preds clamp at +-255), and the [C, K, 6]
+            # neighbour gather below is the big random-access read — int16
+            # halves its HBM traffic. int16 -> int32/f32 casts are exact.
             qpad = jnp.concatenate(
-                [qcoef.reshape(C, n_slots), jnp.zeros((C, 1), jnp.int32)],
+                [
+                    qcoef.reshape(C, n_slots).astype(jnp.int16),
+                    jnp.zeros((C, 1), jnp.int16),
+                ],
                 axis=1,
             )
 
-            vals = qpad[:, snbr_safe]  # [C, K, 6]
-            target = qpad[:, sc]  # [C, K]
+            vals = qpad[:, snbr_safe].astype(jnp.int32)  # [C, K, 6]
+            target = qpad[:, sc].astype(jnp.int32)  # [C, K]
 
             # --- predictor fits: per-group Gram over STATIC k-slices
             # (groups are contiguous in schedule order — no masked design
@@ -376,6 +384,7 @@ class CodecProgram:
             )
             freqs = freqs_i.astype(jnp.uint32)
             cdfs = cdfs_i.astype(jnp.uint32)
+            fcd = pack_freq_cdf(freqs, cdfs)  # one gather/step in the scan
 
             # --- decode LUT: lut[f] = (#cdf_scaled <= f) - 1 via
             # bincount+cumsum. Trailing zero-freq symbols have
@@ -396,26 +405,31 @@ class CodecProgram:
                 .add(1)[:n_lut]
                 .reshape(C, CONTEXT_AMOUNT, 1 << LUT_BITS)
             )
-            lut = jnp.cumsum(counts, axis=-1) - 1  # int32
+            # int16 LUT (symbols <= 1023): halves the per-step gather
+            # table's HBM footprint
+            lut = (jnp.cumsum(counts, axis=-1) - 1).astype(jnp.int16)
 
-            qpad0 = jnp.zeros((C, n_slots + 1), dtype=jnp.int32)
+            # int16 coefficient plane (same bound argument as encode:
+            # |unpack_signed(sym <= 1023)| + |pred <= 255| <= 767 even on
+            # corrupt streams) — the per-step neighbour gather reads it
+            qpad0 = jnp.zeros((C, n_slots + 1), dtype=jnp.int16)
             gptr0 = jnp.int32(0)
 
             def body(carry, xs):
                 qpad, x, gptr = carry
                 coef_safe, active, nbr_safe, lf, grp, fbkt = xs
-                vals = qpad[:, nbr_safe]  # [C, NL, 6]
+                vals = qpad[:, nbr_safe].astype(jnp.int32)  # [C, NL, 6]
                 buckets, preds = jax.vmap(
                     lambda v, vp, wp: J.contexts(v, lf, grp, vp, wp)
                 )(vals, vparams, wparams)
                 buckets = jnp.where(fbkt[None] >= 0, fbkt[None], buckets)
                 act = jnp.broadcast_to(active[None], (C, nl))
                 sym, x, gptr = decode_step_stream(
-                    x, gptr, buckets, act, stream, lut, freqs, cdfs, bits
+                    x, gptr, buckets, act, stream, lut, fcd, bits
                 )
                 values = J.unpack_signed(sym) + preds
                 wslot = jnp.where(act, coef_safe[None], n_slots)
-                wval = jnp.where(act, values, 0)
+                wval = jnp.where(act, values, 0).astype(jnp.int16)
                 qpad = jax.vmap(lambda q, s, v: q.at[s].set(v))(
                     qpad, wslot, wval
                 )
@@ -426,7 +440,7 @@ class CodecProgram:
                 (qpad0, states, gptr0),
                 (d_coef, d_active, d_nbr, d_lf, d_grp, d_fbkt),
             )
-            qcoef = qpad[:, :n_slots].reshape(C, T, N)
+            qcoef = qpad[:, :n_slots].astype(jnp.int32).reshape(C, T, N)
             coef = J.dequantize(qcoef, qdiv[None, None, :])
             leaves = J.inverse_lifting(
                 coef, depth, node_mask[None], leaf_inb[None]

@@ -59,33 +59,35 @@ def finalize_contexts_device(
         bits0 = jnp.clip(bits0.astype(jnp.int32), MIN_FREQ_BITS, MAX_FREQ_BITS_CAP)
 
     lap = lap_rows.astype(jnp.int32)  # [CONTEXT_AMOUNT, 7, 1024]
-    # [7, 1...1, 10, 1024] so the bits axis broadcasts against data's
-    # arbitrary leading dims
-    lap_b = jnp.moveaxis(lap, 1, 0).reshape(
-        (NUM_BITS_CHOICES,) + (1,) * (data.ndim - 2) + (CONTEXT_AMOUNT, ALPHABET_SIZE)
-    )
-    # filled/nnz for each candidate bits value
-    filled_all = jnp.where(
-        lap_b > 0, lap_b, jnp.where(data[None], 1, 0)
-    )  # [7, ..., 10, 1024]
-    nnz_all = jnp.sum((filled_all > 0).astype(jnp.int32), axis=-1)  # [7, ..., 10]
+    # Per-candidate-bits nonzero counts WITHOUT materializing the
+    # [7, ..., 10, 1024] filled tensor: nnz(bits k) = nnz(laplace row k)
+    # + |{data symbols where the row is 0}|. The data-dependent part is a
+    # 1024-reduction -> one f32 einsum (exact: counts <= 1024 < 2^24)
+    # that XLA maps onto the MXU instead of a 7x-wide elementwise sweep.
+    lap_nnz = jnp.sum((lap > 0).astype(jnp.int32), axis=-1)  # [10, 7]
+    lap_zero_f = (lap == 0).astype(jnp.float32)  # [10, 7, 1024]
+    extra = jnp.einsum(
+        "...ca,cka->...ck", data.astype(jnp.float32), lap_zero_f
+    )  # [..., 10, 7]
+    nnz_all = lap_nnz + extra.astype(jnp.int32)  # [..., 10, 7]
 
     # sequential bump: b = bits0; while not ok(b) and b < 14: b += 1
     bits = bits0
     for k in range(MIN_FREQ_BITS, MAX_FREQ_BITS_CAP):
-        ok_k = (1 << k) >= nnz_all[k - MIN_FREQ_BITS]
+        ok_k = (1 << k) >= nnz_all[..., k - MIN_FREQ_BITS]
         bits = jnp.where((bits == k) & (~ok_k), k + 1, bits)
 
     sel = (bits - MIN_FREQ_BITS).astype(jnp.int32)  # [..., 10]
-    # gather filled at the selected bits: move the 7-axis last and
-    # take_along_axis
-    fa = jnp.moveaxis(filled_all, 0, -2)  # [..., CONTEXT_AMOUNT, 7, 1024]
-    filled = jnp.take_along_axis(fa, sel[..., None, None], axis=-2)[..., 0, :]
-    lap_sel = jnp.take_along_axis(
-        jnp.broadcast_to(jnp.moveaxis(lap, 1, -2), fa.shape),
-        sel[..., None, None],
-        axis=-2,
-    )[..., 0, :]
+    # select each bucket's Laplace row at its chosen bits via a one-hot
+    # contraction (exact in f32: row values <= 2^14) — again no
+    # [..., 7, 1024] broadcast
+    onehot = (
+        sel[..., None] == jnp.arange(NUM_BITS_CHOICES, dtype=jnp.int32)
+    ).astype(jnp.float32)  # [..., 10, 7]
+    lap_sel = jnp.einsum(
+        "...ck,cka->...ca", onehot, lap.astype(jnp.float32)
+    ).astype(jnp.int32)  # [..., 10, 1024]
+    filled = jnp.where(lap_sel > 0, lap_sel, jnp.where(data, 1, 0))
     off_mask = data_raw & (lap_sel == 0)
     if off_mask_in is not None:
         off_mask = off_mask | off_mask_in

@@ -69,36 +69,52 @@ def encode_scan(
     where flags[r]; decode consumes flagged words in increasing r.
     """
     lanes_shape = sym_grid.shape[1:]
+    R = sym_grid.shape[0]
     x0 = jnp.full(lanes_shape, RANS_L, dtype=jnp.uint32)
 
-    f = freqs.astype(jnp.uint32)
-    c = cdfs.astype(jnp.uint32)
+    # Encode knows every (bucket, symbol) up front, so ALL table lookups
+    # happen here as ONE bulk gather over the whole [R, ..., NL] grid —
+    # measured ~free — instead of per-step gathers inside the scan,
+    # which dominate scan wall-clock on TPU (~0.2ms per gather op per
+    # step; the abl2 experiment showed the scan's entire cost was its
+    # gathers). freq <= 2^14 packs into the high 16 bits, cdf (<= 2^14,
+    # never read at exactly 2^14 for coded symbols) into the low 16.
+    fcd = (freqs.astype(jnp.uint32) << jnp.uint32(16)) | cdfs.astype(
+        jnp.uint32
+    )
     b = scale_bits.astype(jnp.uint32)
 
-    def gather_tabs(bkt, sym):
-        # bkt/sym: [..., NL]; tables have matching leading dims
-        def g1(tab, bk, sm):
-            return tab[bk, sm]
+    sym_f = jnp.clip(sym_grid, 0, 1023).astype(jnp.int32)
+    bkt_f = jnp.clip(bkt_grid, 0, CONTEXT_AMOUNT - 1).astype(jnp.int32)
+    # flatten R into the lane axis so the table vmap pattern matches the
+    # per-channel leading dims, then restore
+    sym_c = jnp.moveaxis(sym_f, 0, -2).reshape(lanes_shape[:-1] + (-1,))
+    bkt_c = jnp.moveaxis(bkt_f, 0, -2).reshape(lanes_shape[:-1] + (-1,))
 
-        def g0(tab, bk):
-            return tab[bk]
+    def g1(tab, bk, sm):
+        return tab[bk, sm]
 
-        gf = f
-        gc = c
-        gb = b
-        for _ in range(len(lanes_shape) - 1):
-            g1 = jax.vmap(g1)
-            g0 = jax.vmap(g0)
-        return g1(gf, bkt, sym), g1(gc, bkt, sym), g0(gb, bkt)
+    def g0(tab, bk):
+        return tab[bk]
+
+    for _ in range(len(lanes_shape) - 1):
+        g1 = jax.vmap(g1)
+        g0 = jax.vmap(g0)
+    g_all = g1(fcd, bkt_c, sym_c)
+    bi_all = g0(b, bkt_c)
+
+    def ungrid(a):
+        return jnp.moveaxis(
+            a.reshape(lanes_shape[:-1] + (R, lanes_shape[-1])), -2, 0
+        )
+
+    valid = valid_grid
+    fr_g = jnp.where(valid, ungrid(g_all >> jnp.uint32(16)), jnp.uint32(1))
+    cd_g = jnp.where(valid, ungrid(g_all & jnp.uint32(0xFFFF)), jnp.uint32(0))
+    bi_g = jnp.where(valid, ungrid(bi_all), jnp.uint32(8))
 
     def step(x, row):
-        sym, bkt, valid = row
-        sym = jnp.clip(sym, 0, 1023).astype(jnp.int32)
-        bkt = jnp.clip(bkt, 0, CONTEXT_AMOUNT - 1).astype(jnp.int32)
-        fr, cd, bi = gather_tabs(bkt, sym)
-        fr = jnp.where(valid, fr, jnp.uint32(1))
-        cd = jnp.where(valid, cd, jnp.uint32(0))
-        bi = jnp.where(valid, bi, jnp.uint32(8))
+        fr, cd, bi, valid = row
         # renorm: emit low 16 bits iff x >= fr << (32 - bi), computed
         # overflow-free as (x >> (32 - bi)) >= fr
         emit = valid & ((x >> (jnp.uint32(32) - bi)) >= fr)
@@ -111,7 +127,7 @@ def encode_scan(
         return x_next, (word, emit)
 
     final_x, (words, flags) = jax.lax.scan(
-        step, x0, (sym_grid, bkt_grid, valid_grid), reverse=True
+        step, x0, (fr_g, cd_g, bi_g, valid_grid), reverse=True
     )
     return final_x, words, flags
 
@@ -136,6 +152,15 @@ def stream_compact(
     return stream, jnp.sum(fi)
 
 
+def pack_freq_cdf(freqs: jnp.ndarray, cdfs: jnp.ndarray) -> jnp.ndarray:
+    """(freq << 16) | cdf packed u32 table — build ONCE outside the
+    decode scan so each step does a single table gather (see
+    encode_scan's fcd note)."""
+    return (freqs.astype(jnp.uint32) << jnp.uint32(16)) | cdfs.astype(
+        jnp.uint32
+    )
+
+
 def decode_step_stream(
     x: jnp.ndarray,  # [C, NL] uint32 lane states
     gptr: jnp.ndarray,  # scalar int32 global stream pointer
@@ -143,8 +168,7 @@ def decode_step_stream(
     active: jnp.ndarray,  # [C, NL] bool
     stream: jnp.ndarray,  # [W] uint16 global word stream
     lut: jnp.ndarray,  # [C, CA, 2**LUT_BITS] int
-    freqs: jnp.ndarray,  # [C, CA, 1024] uint32
-    cdfs: jnp.ndarray,  # [C, CA, 1024] uint32
+    fcd: jnp.ndarray,  # [C, CA, 1024] uint32 packed (freq << 16) | cdf
     scale_bits: jnp.ndarray,  # [C, CA] int32
 ):
     """One decode step for all channels x lanes against the global
@@ -161,8 +185,9 @@ def decode_step_stream(
     slot = x & mask
     fine = (slot << (jnp.uint32(LUT_BITS) - bi)).astype(jnp.int32)
     sym = g_lut(lut, bkt, fine).astype(jnp.int32)
-    fr = g_tab(freqs.astype(jnp.uint32), bkt, sym)
-    cd = g_tab(cdfs.astype(jnp.uint32), bkt, sym)
+    g = g_tab(fcd, bkt, sym)
+    fr = g >> jnp.uint32(16)
+    cd = g & jnp.uint32(0xFFFF)
     x_new = fr * (x >> bi) + slot - cd
     need = active & (x_new < jnp.uint32(RANS_L))
     nf = need.reshape(-1).astype(jnp.int32)

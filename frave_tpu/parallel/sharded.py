@@ -630,6 +630,7 @@ class TPShardedDecoder:
             )
             freqs = freqs_i.astype(jnp.uint32)
             cdfs = cdfs_i.astype(jnp.uint32)
+            fcd = (freqs << jnp.uint32(16)) | cdfs  # one gather per step
             shift = (jnp.uint32(LUT_BITS) - bits.astype(jnp.uint32))[..., None]
             cdf_s = (cdfs << shift).astype(jnp.int32)
             row = (
@@ -679,8 +680,9 @@ class TPShardedDecoder:
                 slot = x & mask
                 fine = (slot << (jnp.uint32(LUT_BITS) - bi)).astype(jnp.int32)
                 sym = g_lut(lut, bkt, fine).astype(jnp.int32)
-                fr = g_tab(freqs, bkt, sym)
-                cd = g_tab(cdfs, bkt, sym)
+                g = g_tab(fcd, bkt, sym)
+                fr = g >> jnp.uint32(16)
+                cd = g & jnp.uint32(0xFFFF)
                 x_new = fr * (x >> bi) + slot - cd
                 need = act & (x_new < jnp.uint32(RANS_L))
                 values_l = jnp.where(
