@@ -61,9 +61,9 @@ from ..fractal.schedule import default_num_lanes, get_lane_steps, get_schedule
 from ..ops import jax_ops as J
 from ..ops.rans_jax import (
     LUT_BITS,
+    build_decode_tab,
     decode_step_stream,
     encode_scan,
-    pack_freq_cdf,
     stream_compact,
 )
 from .options import EncoderOptions, quantization_matrix
@@ -384,7 +384,6 @@ class CodecProgram:
             )
             freqs = freqs_i.astype(jnp.uint32)
             cdfs = cdfs_i.astype(jnp.uint32)
-            fcd = pack_freq_cdf(freqs, cdfs)  # one gather/step in the scan
 
             # --- decode LUT: lut[f] = (#cdf_scaled <= f) - 1 via
             # bincount+cumsum. Trailing zero-freq symbols have
@@ -405,9 +404,9 @@ class CodecProgram:
                 .add(1)[:n_lut]
                 .reshape(C, CONTEXT_AMOUNT, 1 << LUT_BITS)
             )
-            # int16 LUT (symbols <= 1023): halves the per-step gather
-            # table's HBM footprint
             lut = (jnp.cumsum(counts, axis=-1) - 1).astype(jnp.int16)
+            # merged per-state table: ONE gather per scan step
+            tab = build_decode_tab(lut, freqs, cdfs, bits)
 
             # int16 coefficient plane (same bound argument as encode:
             # |unpack_signed(sym <= 1023)| + |pred <= 255| <= 767 even on
@@ -425,7 +424,7 @@ class CodecProgram:
                 buckets = jnp.where(fbkt[None] >= 0, fbkt[None], buckets)
                 act = jnp.broadcast_to(active[None], (C, nl))
                 sym, x, gptr = decode_step_stream(
-                    x, gptr, buckets, act, stream, lut, fcd, bits
+                    x, gptr, buckets, act, stream, tab
                 )
                 values = J.unpack_signed(sym) + preds
                 wslot = jnp.where(act, coef_safe[None], n_slots)

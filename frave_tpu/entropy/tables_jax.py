@@ -32,7 +32,7 @@ def finalize_contexts_device(
     bits0: jnp.ndarray = None,
     off_mask_in: jnp.ndarray = None,
 ):
-    """hist: [..., 10, 1024] int32 data histograms;
+    """hist: [..., CA, 1024] int32 data histograms;
     lap_rows: [CONTEXT_AMOUNT, 7, 1024] u32 Laplace tables per (bucket, bits).
 
     Encode side: bits0/off_mask_in omitted — starting bits come from the
@@ -40,15 +40,15 @@ def finalize_contexts_device(
     bits and off-mask with an all-zero hist (context_from_wire) — the
     bits-bump loop is idempotent on already-bumped wire values.
 
-    Returns (bits [..., 10] i32, freqs [..., 10, 1024] i32,
-    cdf [..., 10, 1024] i32, off_mask [..., 10, 1024] bool) — exact twin
+    Returns (bits [..., CA] i32, freqs [..., CA, 1024] i32,
+    cdf [..., CA, 1024] i32, off_mask [..., CA, 1024] bool) — exact twin
     of the host implementation."""
     h = hist.astype(jnp.int32)
-    data_raw = h > 0  # [..., 10, 1024]
+    data_raw = h > 0  # [..., CA, 1024]
     # forced-to-1 set: data symbols plus the wire off-list (host
     # _fill_with_laplace semantics)
     data = data_raw if off_mask_in is None else (data_raw | off_mask_in)
-    total = jnp.sum(h, axis=-1)  # [..., 10]
+    total = jnp.sum(h, axis=-1)  # [..., CA]
 
     if bits0 is None:
         # bits0 = clamp(bit_length(total) - 1, 8, 14)
@@ -60,16 +60,16 @@ def finalize_contexts_device(
 
     lap = lap_rows.astype(jnp.int32)  # [CONTEXT_AMOUNT, 7, 1024]
     # Per-candidate-bits nonzero counts WITHOUT materializing the
-    # [7, ..., 10, 1024] filled tensor: nnz(bits k) = nnz(laplace row k)
+    # [7, ..., CA, 1024] filled tensor: nnz(bits k) = nnz(laplace row k)
     # + |{data symbols where the row is 0}|. The data-dependent part is a
     # 1024-reduction -> one f32 einsum (exact: counts <= 1024 < 2^24)
     # that XLA maps onto the MXU instead of a 7x-wide elementwise sweep.
-    lap_nnz = jnp.sum((lap > 0).astype(jnp.int32), axis=-1)  # [10, 7]
-    lap_zero_f = (lap == 0).astype(jnp.float32)  # [10, 7, 1024]
+    lap_nnz = jnp.sum((lap > 0).astype(jnp.int32), axis=-1)  # [CA, 7]
+    lap_zero_f = (lap == 0).astype(jnp.float32)  # [CA, 7, 1024]
     extra = jnp.einsum(
         "...ca,cka->...ck", data.astype(jnp.float32), lap_zero_f
-    )  # [..., 10, 7]
-    nnz_all = lap_nnz + extra.astype(jnp.int32)  # [..., 10, 7]
+    )  # [..., CA, 7]
+    nnz_all = lap_nnz + extra.astype(jnp.int32)  # [..., CA, 7]
 
     # sequential bump: b = bits0; while not ok(b) and b < 14: b += 1
     bits = bits0
@@ -77,23 +77,23 @@ def finalize_contexts_device(
         ok_k = (1 << k) >= nnz_all[..., k - MIN_FREQ_BITS]
         bits = jnp.where((bits == k) & (~ok_k), k + 1, bits)
 
-    sel = (bits - MIN_FREQ_BITS).astype(jnp.int32)  # [..., 10]
+    sel = (bits - MIN_FREQ_BITS).astype(jnp.int32)  # [..., CA]
     # select each bucket's Laplace row at its chosen bits via a one-hot
     # contraction (exact in f32: row values <= 2^14) — again no
     # [..., 7, 1024] broadcast
     onehot = (
         sel[..., None] == jnp.arange(NUM_BITS_CHOICES, dtype=jnp.int32)
-    ).astype(jnp.float32)  # [..., 10, 7]
+    ).astype(jnp.float32)  # [..., CA, 7]
     lap_sel = jnp.einsum(
         "...ck,cka->...ca", onehot, lap.astype(jnp.float32)
-    ).astype(jnp.int32)  # [..., 10, 1024]
+    ).astype(jnp.int32)  # [..., CA, 1024]
     filled = jnp.where(lap_sel > 0, lap_sel, jnp.where(data, 1, 0))
     off_mask = data_raw & (lap_sel == 0)
     if off_mask_in is not None:
         off_mask = off_mask | off_mask_in
 
     # --- largest-remainder normalization (tables._normalize_freqs twin)
-    target = (jnp.int32(1) << bits).astype(jnp.int32)  # [..., 10]
+    target = (jnp.int32(1) << bits).astype(jnp.int32)  # [..., CA]
     total2 = jnp.sum(filled, axis=-1)  # > 0 always (laplace rows nonzero)
     scaled = (filled * target[..., None]) // total2[..., None]
     s = jnp.where(filled > 0, jnp.maximum(scaled, 1), 0)

@@ -589,7 +589,12 @@ class TPShardedDecoder:
 
     def _build(self, prog, nl, n_dev, W):
         from ..entropy.tables_jax import finalize_contexts_device
-        from ..ops.rans_jax import LUT_BITS, RANS_L, WORD_BITS
+        from ..ops.rans_jax import (
+            LUT_BITS,
+            RANS_L,
+            WORD_BITS,
+            build_decode_tab,
+        )
 
         C = self.channels
         NLl = nl // n_dev
@@ -630,7 +635,6 @@ class TPShardedDecoder:
             )
             freqs = freqs_i.astype(jnp.uint32)
             cdfs = cdfs_i.astype(jnp.uint32)
-            fcd = (freqs << jnp.uint32(16)) | cdfs  # one gather per step
             shift = (jnp.uint32(LUT_BITS) - bits.astype(jnp.uint32))[..., None]
             cdf_s = (cdfs << shift).astype(jnp.int32)
             row = (
@@ -646,6 +650,8 @@ class TPShardedDecoder:
                 .reshape(C, CONTEXT_AMOUNT, 1 << LUT_BITS)
             )
             lut = jnp.cumsum(counts, axis=-1) - 1
+            # merged per-state table: ONE gather per scan step
+            tab = build_decode_tab(lut, freqs, cdfs, bits)
 
             s_idx = jax.lax.axis_index(axes[0]) if len(axes) == 1 else (
                 jax.lax.axis_index(axes[0]) * self.mesh.shape[axes[1]]
@@ -656,9 +662,7 @@ class TPShardedDecoder:
             qpad0 = jnp.zeros((C, n_slots + 1), dtype=jnp.int32)
             gptr0 = jnp.int32(0)
 
-            g_bits = jax.vmap(lambda tab, bk: tab[bk])
-            g_lut = jax.vmap(lambda tab, bk, sl: tab[bk, sl])
-            g_tab = jax.vmap(lambda tab, bk, sm: tab[bk, sm])
+            g_tab2 = jax.vmap(lambda t, bk, lo: t[bk, lo])
 
             def body(carry, xs):
                 qpad, x, gptr = carry
@@ -675,15 +679,13 @@ class TPShardedDecoder:
                 act = jnp.broadcast_to(act_l[None], (C, NLl))
                 # rANS symbol extraction (local)
                 bkt = jnp.clip(buckets, 0, CONTEXT_AMOUNT - 1).astype(jnp.int32)
-                bi = g_bits(bits.astype(jnp.uint32), bkt)
-                mask = (jnp.uint32(1) << bi) - jnp.uint32(1)
-                slot = x & mask
-                fine = (slot << (jnp.uint32(LUT_BITS) - bi)).astype(jnp.int32)
-                sym = g_lut(lut, bkt, fine).astype(jnp.int32)
-                g = g_tab(fcd, bkt, sym)
-                fr = g >> jnp.uint32(16)
-                cd = g & jnp.uint32(0xFFFF)
-                x_new = fr * (x >> bi) + slot - cd
+                low = (x & jnp.uint32((1 << LUT_BITS) - 1)).astype(jnp.int32)
+                g2 = g_tab2(tab, bkt, low)  # [C, NLl, 2]
+                fr = g2[..., 0] >> jnp.uint32(16)
+                diff = g2[..., 0] & jnp.uint32(0xFFFF)
+                bi = g2[..., 1] >> jnp.uint32(16)
+                sym = (g2[..., 1] & jnp.uint32(0xFFFF)).astype(jnp.int32)
+                x_new = fr * (x >> bi) + diff
                 need = act & (x_new < jnp.uint32(RANS_L))
                 values_l = jnp.where(
                     act, J.unpack_signed(sym) + preds, 0
