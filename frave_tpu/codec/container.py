@@ -33,7 +33,14 @@ from ..images import (
 from ..entropy.tables import ALPHABET_SIZE, CONTEXT_AMOUNT, context_from_wire
 
 MAGIC = b"frif"
-VERSION = 7  # v7: explicit per-image channel-transform byte
+# v7: explicit per-image channel-transform byte
+# v8: PRD carries per-level predictor fits — an n_fits byte followed by
+#     [n, 6] f16 value + width parameter rows (one row per contiguous
+#     schedule segment, schedule.WavefrontSchedule.sched_group), replacing
+#     v7's fixed [3, 6] f32 coarse groups. v7 containers still decode:
+#     their 3 rows are expanded via schedule.legacy_of_fine.
+VERSION = 8
+_MIN_VERSION = 7
 _MAX_TRANSFORM = 3  # codec/channel_transform.py T_* ids
 _MODES = ("parallel", "parity")  # wire encodings 0, 1
 MARKER_PRD = 0xFFBB
@@ -69,9 +76,11 @@ def serialize(image: CompressedImage) -> bytes:
         if cd is None:
             raise SerializeError(f"missing channel {ch}")
         out += struct.pack("<H", MARKER_PRD)
-        vp = np.asarray(cd.value_prediction_parameters, dtype="<f4")
-        wp = np.asarray(cd.width_prediction_parameters, dtype="<f4")
-        assert vp.shape == (3, 6) and wp.shape == (3, 6)
+        vp = np.asarray(cd.value_prediction_parameters, dtype="<f2")
+        wp = np.asarray(cd.width_prediction_parameters, dtype="<f2")
+        assert vp.ndim == 2 and vp.shape[1] == 6 and vp.shape == wp.shape
+        assert vp.shape[0] <= 255
+        out += struct.pack("<B", vp.shape[0])
         out += vp.tobytes() + wp.tobytes()
 
         for ctx in cd.ans_contexts:
@@ -148,7 +157,7 @@ def deserialize(data: bytes) -> CompressedImage:
     if r.take(4) != MAGIC:
         raise SerializeError("bad magic")
     version = r.u8()
-    if version != VERSION:
+    if not (_MIN_VERSION <= version <= VERSION):
         raise SerializeError(f"unsupported container version {version}")
     height = r.u32()
     width = r.u32()
@@ -173,8 +182,34 @@ def deserialize(data: bytes) -> CompressedImage:
     for ch in range(meta.num_channels):
         if r.u16() != MARKER_PRD:
             raise SerializeError("expected PRD segment")
-        vp = np.frombuffer(r.take(3 * 6 * 4), dtype="<f4").reshape(3, 6).copy()
-        wp = np.frombuffer(r.take(3 * 6 * 4), dtype="<f4").reshape(3, 6).copy()
+        if version >= 8:
+            nfit = r.u8()
+            if nfit < 1:
+                raise SerializeError("PRD must carry at least one fit")
+            vp = (
+                np.frombuffer(r.take(nfit * 6 * 2), dtype="<f2")
+                .reshape(nfit, 6)
+                .astype(np.float32)
+            )
+            wp = (
+                np.frombuffer(r.take(nfit * 6 * 2), dtype="<f2")
+                .reshape(nfit, 6)
+                .astype(np.float32)
+            )
+            # NaN/inf params would poison every prediction downstream
+            if not (np.isfinite(vp).all() and np.isfinite(wp).all()):
+                raise SerializeError("non-finite predictor parameters")
+        else:  # v7: fixed 3 coarse groups, f32; expanded by the decoders
+            vp = (
+                np.frombuffer(r.take(3 * 6 * 4), dtype="<f4")
+                .reshape(3, 6)
+                .copy()
+            )
+            wp = (
+                np.frombuffer(r.take(3 * 6 * 4), dtype="<f4")
+                .reshape(3, 6)
+                .copy()
+            )
 
         contexts = []
         for bucket in range(CONTEXT_AMOUNT):

@@ -69,27 +69,34 @@ class EncoderOptions:
     # EncoderOpts.value_prediction_params, encoder.rs:58-64): when set,
     # the in-encoder least-squares fit is skipped and these parameters are
     # used (and serialized) verbatim — pins a fit for reproduction or lets
-    # an outer search (cli optimize) drive the encoder. Shapes [3, 6]
-    # (single channel) or [C, 3, 6]; f32.
+    # an outer search (cli optimize) drive the encoder. Shapes [n, 6]
+    # (single channel) or [C, n, 6]; f32, where n is either 3 (legacy
+    # coarse groups, expanded per level by the pipelines) or the
+    # schedule's num_fine (format v8 per-level rows). Parameters travel
+    # as f16 on the wire and are rounded accordingly before use.
     value_prediction_params: Optional[np.ndarray] = None
     width_prediction_params: Optional[np.ndarray] = None
 
     def prediction_overrides(self, channels: int):
-        """Normalized ([C,3,6] f32 vp, wp, use_flag) for the pipelines.
+        """Normalized ([C,n,6] f32 vp, wp, use_flag) for the pipelines.
         Both-or-neither: a value override without a width override keeps
         the width fit (widths only shape rate, never correctness)."""
         if self.value_prediction_params is None:
             return None
 
+        vref = np.asarray(self.value_prediction_params)
+        nrows = vref.shape[-2]
+
         def norm(p):
             if p is None:
-                return np.zeros((channels, 3, 6), dtype=np.float32)
+                return np.zeros((channels, nrows, 6), dtype=np.float32)
             a = np.asarray(p, dtype=np.float32)
-            if a.shape == (3, 6):
-                a = np.broadcast_to(a, (channels, 3, 6))
-            if a.shape != (channels, 3, 6):
+            if a.shape == (nrows, 6):
+                a = np.broadcast_to(a, (channels, nrows, 6))
+            if a.shape != (channels, nrows, 6):
                 raise ValueError(
-                    f"prediction params must be [3,6] or [{channels},3,6]"
+                    f"prediction params must be [{nrows},6] or "
+                    f"[{channels},{nrows},6]"
                 )
             return np.ascontiguousarray(a)
 

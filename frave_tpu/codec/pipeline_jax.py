@@ -61,9 +61,9 @@ from ..fractal.schedule import default_num_lanes, get_lane_steps, get_schedule
 from ..ops import jax_ops as J
 from ..ops.rans_jax import (
     LUT_BITS,
-    build_decode_tab,
     decode_step_stream,
     encode_scan,
+    pack_freq_cdf,
     stream_compact,
 )
 from .options import EncoderOptions, quantization_matrix
@@ -91,13 +91,13 @@ def _i32(x):
 
 
 # Packed-output layout (int32 words):
-#   per channel: vparams(18) wparams(18) bits(CA) off_bitmask(CA*32)
-#                states(NL)
+#   per channel: vparams(6*num_fine) wparams(6*num_fine) bits(CA)
+#                off_bitmask(CA*32) states(NL)
 #   then global: total_words(1) stream(ceil(K*C/2), u16 pairs)
 # The fetch is split: the fixed-size header part first (tiny), then a
 # host-sliced prefix of the stream sized by the fetched totals — padding
 # bytes never cross the device link.
-_HDR = 18 + 18 + CONTEXT_AMOUNT + CONTEXT_AMOUNT * (ALPHABET_SIZE // 32)
+_HDR_TABLES = CONTEXT_AMOUNT + CONTEXT_AMOUNT * (ALPHABET_SIZE // 32)
 
 
 @dataclasses.dataclass
@@ -137,7 +137,9 @@ class CodecProgram:
         KC = K * C
         self.kc = KC
         self.kcp2 = (KC + 1) // 2
-        self.chan_hdr = _HDR + nl
+        self.num_fine = sched.num_fine
+        self.legacy_of_fine = sched.legacy_of_fine.astype(np.int64)
+        self.chan_hdr = 12 * sched.num_fine + _HDR_TABLES + nl
         self.hdr_words = C * self.chan_hdr + 1  # + global total
 
         # ---- device-resident geometry/schedule tensors (uploaded once) ----
@@ -165,7 +167,7 @@ class CodecProgram:
         hf_np = ~sched.sched_lf
         grp_np = sched.sched_group.astype(np.int32)
         self._group_ranges = []
-        for g in range(3):
+        for g in range(sched.num_fine):
             idx = np.nonzero(hf_np & (grp_np == g))[0]
             if idx.size == 0:
                 self._group_ranges.append((0, 0))
@@ -248,14 +250,17 @@ class CodecProgram:
                 ys = target[:, lo:hi].astype(jnp.float32)
                 Gs.append(jnp.einsum("ckx,cky->cxy", Xs, Xs))
                 bs.append(jnp.einsum("ckx,ck->cx", Xs, ys))
-            G = jnp.stack(Gs, axis=1)  # [C, 3, 6, 6]
+            G = jnp.stack(Gs, axis=1)  # [C, F, 6, 6]
             bv = jnp.stack(bs, axis=1)
-            vparams = _gram_solve(G, bv)  # [C, 3, 6]
+            vparams = _gram_solve(G, bv)  # [C, F, 6]
             # external predictor injection (EncoderOpts.value_prediction_
             # params, encoder.rs:58-64): pin serialized params verbatim;
             # the width fit below then models residuals of the PINNED
             # value predictor
             vparams = jnp.where(use_ovr, vp_ovr, vparams)
+            # round to the f16 wire precision BEFORE any residual math —
+            # decode recomputes predictions from the wire values
+            vparams = vparams.astype(jnp.float16).astype(jnp.float32)
 
             Gws, bws = [], []
             for g, (lo, hi) in enumerate(group_ranges):
@@ -270,6 +275,7 @@ class CodecProgram:
             bw = jnp.stack(bws, axis=1)
             wparams = _gram_solve(Gw, bw)
             wparams = jnp.where(use_wovr, wp_ovr, wparams)
+            wparams = wparams.astype(jnp.float16).astype(jnp.float32)
 
             # --- contexts + symbols (parallel over all K on encode)
             buckets, preds = jax.vmap(
@@ -356,8 +362,8 @@ class CodecProgram:
             stream,  # [W] uint16 global word stream
             wire_bits,  # [C, CA] int32
             offpk,  # [C, CA, 32] uint32 off-list bitmask
-            vparams,  # [C, 3, 6] f32
-            wparams,  # [C, 3, 6] f32
+            vparams,  # [C, F, 6] f32 (F = schedule num_fine)
+            wparams,  # [C, F, 6] f32
             qdiv,  # [N] int32
             lap,  # [CA, 7, 1024] u32
             d_coef,
@@ -404,9 +410,11 @@ class CodecProgram:
                 .add(1)[:n_lut]
                 .reshape(C, CONTEXT_AMOUNT, 1 << LUT_BITS)
             )
+            # int16 LUT (symbols <= 1023): halves the per-step gather
+            # table's HBM footprint — table footprint, not gather count,
+            # is what the scan pays for (see rans_jax.pack_freq_cdf note)
             lut = (jnp.cumsum(counts, axis=-1) - 1).astype(jnp.int16)
-            # merged per-state table: ONE gather per scan step
-            tab = build_decode_tab(lut, freqs, cdfs, bits)
+            fcd = pack_freq_cdf(freqs, cdfs)
 
             # int16 coefficient plane (same bound argument as encode:
             # |unpack_signed(sym <= 1023)| + |pred <= 255| <= 767 even on
@@ -424,7 +432,7 @@ class CodecProgram:
                 buckets = jnp.where(fbkt[None] >= 0, fbkt[None], buckets)
                 act = jnp.broadcast_to(active[None], (C, nl))
                 sym, x, gptr = decode_step_stream(
-                    x, gptr, buckets, act, stream, tab
+                    x, gptr, buckets, act, stream, lut, fcd, bits
                 )
                 values = J.unpack_signed(sym) + preds
                 wslot = jnp.where(act, coef_safe[None], n_slots)
@@ -466,19 +474,32 @@ class CodecProgram:
         overrides=None,
     ):
         """pixels_b: [B, C, HW] int32 -> (packed [B, hdr_words + kcp2] i32,
-        hist [B, C, CA, 1024] i32). `overrides` = (vp [C,3,6], wp, use_w)
-        pins externally-supplied predictor parameters."""
+        hist [B, C, CA, 1024] i32). `overrides` = (vp [C,3,6] or
+        [C,num_fine,6], wp, use_w) pins externally-supplied predictor
+        parameters (3-row legacy sets expand to the fine ids)."""
         B = pixels_b.shape[0]
         C = self.channels
+        F = self.num_fine
         if overrides is None:
-            vp_ovr = jnp.zeros((C, 3, 6), jnp.float32)
+            vp_ovr = jnp.zeros((C, F, 6), jnp.float32)
             wp_ovr = vp_ovr
             use_v = jnp.asarray(False)
             use_w = jnp.asarray(False)
         else:
             vp_np, wp_np, use_w_flag = overrides
-            vp_ovr = jnp.asarray(vp_np)
-            wp_ovr = jnp.asarray(wp_np)
+
+            def exp(p):
+                p = np.asarray(p, dtype=np.float32)
+                if p.shape[-2] == 3 and F != 3:
+                    p = p[..., self.legacy_of_fine, :]
+                if p.shape[-2:] != (F, 6):
+                    raise ValueError(
+                        f"override params must have 3 or {F} rows"
+                    )
+                return p
+
+            vp_ovr = jnp.asarray(exp(vp_np))
+            wp_ovr = jnp.asarray(exp(wp_np))
             use_v = jnp.asarray(True)
             use_w = jnp.asarray(bool(use_w_flag))
         fn = self._enc_jit.get(B)
@@ -569,8 +590,9 @@ def _unpack_channels(
     for c in range(C):
         v = arr[c]
         o = 0
-        vp = v[o : o + 18].view(np.float32).reshape(3, 6).copy(); o += 18
-        wp = v[o : o + 18].view(np.float32).reshape(3, 6).copy(); o += 18
+        npar = 6 * prog.num_fine
+        vp = v[o : o + npar].view(np.float32).reshape(-1, 6).copy(); o += npar
+        wp = v[o : o + npar].view(np.float32).reshape(-1, 6).copy(); o += npar
         bits = v[o : o + CONTEXT_AMOUNT].copy(); o += CONTEXT_AMOUNT
         nmask = CONTEXT_AMOUNT * (ALPHABET_SIZE // 32)
         ompk = v[o : o + nmask].view(np.uint32).reshape(CONTEXT_AMOUNT, -1)
@@ -772,12 +794,14 @@ def assemble_wire_batch(images: List[CompressedImage], nl: int):
         maxw = max(maxw, int(np.asarray(im.stream).shape[0]))
     Wpad = _next_pow2(max(64, maxw))
 
+    sched = get_schedule(meta.height, meta.width, mode=images[0].mode)
+    F = sched.num_fine
     bits = np.zeros((B, C, CONTEXT_AMOUNT), dtype=np.int32)
     offpk = np.zeros((B, C, CONTEXT_AMOUNT, ALPHABET_SIZE // 32), dtype=np.uint32)
     states = np.zeros((B, C, nl), dtype=np.uint32)
     streams = np.zeros((B, Wpad), dtype=np.uint16)
-    vparams = np.zeros((B, C, 3, 6), dtype=np.float32)
-    wparams = np.zeros((B, C, 3, 6), dtype=np.float32)
+    vparams = np.zeros((B, C, F, 6), dtype=np.float32)
+    wparams = np.zeros((B, C, F, 6), dtype=np.float32)
 
     for b, im in enumerate(images):
         st = np.asarray(im.stream, dtype=np.uint16)
@@ -794,11 +818,12 @@ def assemble_wire_batch(images: List[CompressedImage], nl: int):
                         np.uint32(1) << (off % 32).astype(np.uint32),
                     )
             states[b, c] = np.asarray(cd.lane_states, dtype=np.uint32)
-            vparams[b, c] = np.asarray(
-                cd.value_prediction_parameters, dtype=np.float32
+            # v7 containers carry 3 coarse rows; expand to the fine ids
+            vparams[b, c] = sched.expand_params(
+                cd.value_prediction_parameters
             )
-            wparams[b, c] = np.asarray(
-                cd.width_prediction_parameters, dtype=np.float32
+            wparams[b, c] = sched.expand_params(
+                cd.width_prediction_parameters
             )
 
     # Per-image dequantization tables: a same-shape batch may mix quality

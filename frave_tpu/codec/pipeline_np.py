@@ -78,14 +78,21 @@ def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedIm
             target_hf,
             sched.sched_group[hf].astype(np.int64),
             np.ones(int(hf.sum()), dtype=bool),
+            ngroups=sched.num_fine,
         )
         if overrides is not None:
             # external injection (EncoderOpts.value_prediction_params,
             # encoder.rs:58-64): pin the serialized parameters verbatim
+            # (3-row legacy sets expand to the fine ids; rounded to the
+            # f16 wire precision they will travel at)
             vp_ovr, wp_ovr, use_w = overrides
-            vparams = vp_ovr[ch]
+            vparams = sched.expand_params(vp_ovr[ch]).astype(
+                np.float16
+            ).astype(np.float32)
             if use_w:
-                wparams = wp_ovr[ch]
+                wparams = sched.expand_params(wp_ovr[ch]).astype(
+                    np.float16
+                ).astype(np.float32)
 
         # --- contexts for every symbol (prediction.rs:224-298), fully parallel
         vals = gather_neighbour_values(qflat[ch], sched.sched_nbr)
@@ -182,6 +189,7 @@ def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedIm
 def decode_pipeline_np(image: CompressedImage) -> RasterImage:
     meta = image.metadata
     geo = get_geometry(meta.height, meta.width)
+    sched = get_schedule(meta.height, meta.width, mode=image.mode)
     steps = get_lane_steps(meta.height, meta.width, image.num_lanes, mode=image.mode)
     C = meta.num_channels
     n_slots = geo.num_coef_slots
@@ -202,8 +210,9 @@ def decode_pipeline_np(image: CompressedImage) -> RasterImage:
             np.asarray([c.max_freq_bits for c in cd.ans_contexts], dtype=np.int32)
         )
         all_states.append(np.asarray(cd.lane_states, dtype=np.uint32))
-        vparams.append(np.asarray(cd.value_prediction_parameters, dtype=np.float32))
-        wparams.append(np.asarray(cd.width_prediction_parameters, dtype=np.float32))
+        # v7 containers carry 3 coarse rows; expand to the fine ids
+        vparams.append(sched.expand_params(cd.value_prediction_parameters))
+        wparams.append(sched.expand_params(cd.width_prediction_parameters))
 
     decoder = StreamDecoder(
         np.stack(all_states),

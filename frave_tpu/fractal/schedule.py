@@ -85,13 +85,37 @@ class WavefrontSchedule:
     sched_coef: np.ndarray  # [K] int32 flat coefficient slot
     sched_nbr: np.ndarray  # [K, 6] int32 neighbour value slots (-1 absent)
     sched_lf: np.ndarray  # [K] bool: LF (MED) vs HF (learned linear) context
-    sched_group: np.ndarray  # [K] int8 predictor parameter group (0/1/2)
+    # Fine predictor parameter group per symbol: one id per contiguous
+    # schedule segment (DC phases, root-HF, then each HF level) — the
+    # per-level fits of format v8. The reference's 3 coarse groups
+    # (context_modeling.rs:89-101: finest level / next / rest) survive as
+    # legacy_of_fine for decoding v7 containers, whose [3, 6] parameter
+    # blocks are expanded to [num_fine, 6] via this map.
+    sched_group: np.ndarray  # [K] int8 fine predictor parameter group
+    legacy_of_fine: np.ndarray  # [num_fine] int8 coarse group of each fine id
+    num_fine: int
     sched_fbkt: np.ndarray  # [K] int8 fixed context bucket, -1 = computed
     wave_sizes: np.ndarray  # [num_waves] int32, sums to K
     max_wave: int
 
     def lane_of(self, nl: int) -> np.ndarray:
         return (np.arange(self.num_symbols, dtype=np.int64) % nl).astype(np.int32)
+
+    def expand_params(self, p: np.ndarray) -> np.ndarray:
+        """Normalize wire predictor parameters to [..., num_fine, 6]:
+        v8 rows pass through, v7's 3 coarse rows expand via
+        legacy_of_fine."""
+        p = np.asarray(p, dtype=np.float32)
+        if p.shape[-2] == self.num_fine:
+            return p
+        if p.shape[-2] == 3:
+            return np.ascontiguousarray(
+                p[..., self.legacy_of_fine.astype(np.int64), :]
+            )
+        raise ValueError(
+            f"predictor params have {p.shape[-2]} rows; expected 3 or "
+            f"{self.num_fine}"
+        )
 
 
 def build_schedule(geo: FractalGeometry, mode: str = "parallel") -> WavefrontSchedule:
@@ -120,6 +144,15 @@ def build_schedule(geo: FractalGeometry, mode: str = "parallel") -> WavefrontSch
 
     sched_fbkt: List[np.ndarray] = []
 
+    # fine group allocator: one id per contiguous segment, remembering
+    # which of the reference's 3 coarse groups it belongs to
+    legacy_of_fine: List[int] = []
+
+    def fine_group(size: int, legacy: int) -> np.ndarray:
+        fid = len(legacy_of_fine)
+        legacy_of_fine.append(legacy)
+        return np.full(size, fid, dtype=np.int8)
+
     if mode == "parity":
         # DC + root-HF phases follow the causal tile wavefront
         # (prediction.rs:241-270).
@@ -141,7 +174,7 @@ def build_schedule(geo: FractalGeometry, mode: str = "parallel") -> WavefrontSch
             sched_coef.append(coef)
             sched_nbr.append(nbr)
             sched_lf.append(np.ones(T, dtype=bool))
-            sched_group.append(np.zeros(T, dtype=np.int8))
+            sched_group.append(fine_group(T, 0))
             sched_fbkt.append(np.full(T, -1, dtype=np.int8))
             wave_sizes.extend(tile_counts.tolist())
     else:
@@ -158,7 +191,7 @@ def build_schedule(geo: FractalGeometry, mode: str = "parallel") -> WavefrontSch
         sched_coef.append(a_tiles * n)
         sched_nbr.append(np.full((a_tiles.size, 6), -1, dtype=np.int64))
         sched_lf.append(np.zeros(a_tiles.size, dtype=bool))
-        sched_group.append(np.full(a_tiles.size, 2, dtype=np.int8))
+        sched_group.append(fine_group(a_tiles.size, 2))
         sched_fbkt.append(
             np.full(a_tiles.size, CONTEXT_AMOUNT - 1, dtype=np.int8)
         )
@@ -170,7 +203,7 @@ def build_schedule(geo: FractalGeometry, mode: str = "parallel") -> WavefrontSch
         sched_coef.append(b_tiles * n)
         sched_nbr.append(nbr_b)
         sched_lf.append(np.zeros(b_tiles.size, dtype=bool))
-        sched_group.append(np.full(b_tiles.size, 2, dtype=np.int8))
+        sched_group.append(fine_group(b_tiles.size, 2))
         sched_fbkt.append(np.full(b_tiles.size, -1, dtype=np.int8))
         wave_sizes.append(int(b_tiles.size))
 
@@ -181,7 +214,7 @@ def build_schedule(geo: FractalGeometry, mode: str = "parallel") -> WavefrontSch
         sched_coef.append(coef)
         sched_nbr.append(nbr)
         sched_lf.append(np.zeros(T, dtype=bool))
-        sched_group.append(np.full(T, 2, dtype=np.int8))
+        sched_group.append(fine_group(T, 2))
         sched_fbkt.append(np.full(T, -1, dtype=np.int8))
         wave_sizes.append(T)
 
@@ -201,7 +234,7 @@ def build_schedule(geo: FractalGeometry, mode: str = "parallel") -> WavefrontSch
             sched_coef.append(slots)
             sched_nbr.append(nbr_o)
             sched_lf.append(np.zeros(nL, dtype=bool))
-            sched_group.append(np.full(nL, group, dtype=np.int8))
+            sched_group.append(fine_group(nL, group))
             sched_fbkt.append(np.full(nL, -1, dtype=np.int8))
             wave_sizes.append(nL)
             continue
@@ -231,7 +264,7 @@ def build_schedule(geo: FractalGeometry, mode: str = "parallel") -> WavefrontSch
         sched_coef.append(slots_o)
         sched_nbr.append(nbr_o)
         sched_lf.append(np.zeros(nL, dtype=bool))
-        sched_group.append(np.full(nL, group, dtype=np.int8))
+        sched_group.append(fine_group(nL, group))
         sched_fbkt.append(np.full(nL, -1, dtype=np.int8))
         wave_sizes.extend(counts.tolist())
 
@@ -249,6 +282,8 @@ def build_schedule(geo: FractalGeometry, mode: str = "parallel") -> WavefrontSch
         sched_nbr=nbr.astype(np.int32),
         sched_lf=lf,
         sched_group=group,
+        legacy_of_fine=np.asarray(legacy_of_fine, dtype=np.int8),
+        num_fine=len(legacy_of_fine),
         sched_fbkt=fbkt.astype(np.int8),
         wave_sizes=ws.astype(np.int32),
         max_wave=int(ws.shape[0]),

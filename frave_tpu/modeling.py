@@ -35,28 +35,32 @@ def _gram_solve(G: np.ndarray, b: np.ndarray) -> np.ndarray:
 def fit_predictors_np(
     vals: np.ndarray,  # [K, 6] neighbour values (HF slots only)
     target: np.ndarray,  # [K] coefficient values
-    group: np.ndarray,  # [K] int 0/1/2
+    group: np.ndarray,  # [K] int fine parameter group id
     valid: np.ndarray,  # [K] bool rows that carry a coefficient
+    ngroups: int = 3,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (value_params [3, 6] f32, width_params [3, 6] f32)."""
+    """Returns (value_params [ngroups, 6] f32, width_params [ngroups, 6]
+    f32), both rounded to f16 values — format v8 ships parameters as f16
+    and residuals must be computed with exactly the wire values, so the
+    rounding happens here, before the width fit consumes the value fit."""
     X = vals.astype(np.float64)
     y = target.astype(np.float64)
     w = valid.astype(np.float64)
 
-    vparams = np.zeros((3, 6), dtype=np.float64)
-    wparams = np.zeros((3, 6), dtype=np.float64)
-    for g in range(3):
+    vparams = np.zeros((ngroups, 6), dtype=np.float64)
+    wparams = np.zeros((ngroups, 6), dtype=np.float64)
+    for g in range(ngroups):
         m = w * (group == g)
         Xg = X * m[:, None]
         G = Xg.T @ X
         b = Xg.T @ y
         vparams[g] = _gram_solve(G, b)
+    vparams = vparams.astype(np.float16).astype(np.float32)
 
     # Width fit: |residual| on gradient features (context_modeling.rs:144-173).
-    vp32 = vparams.astype(np.float32)
-    for g in range(3):
+    for g in range(ngroups):
         m = w * (group == g)
-        pred = (X.astype(np.float32) @ vp32[g]).astype(np.float64)
+        pred = (X.astype(np.float32) @ vparams[g]).astype(np.float64)
         r = np.abs(y - pred)
         F = np.stack(
             [
@@ -74,4 +78,6 @@ def fit_predictors_np(
         b = Fg.T @ r
         wparams[g] = _gram_solve(G, b)
 
-    return vparams.astype(np.float32), wparams.astype(np.float32)
+    return vparams.astype(np.float32), wparams.astype(np.float16).astype(
+        np.float32
+    )

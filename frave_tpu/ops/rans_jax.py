@@ -152,38 +152,18 @@ def stream_compact(
     return stream, jnp.sum(fi)
 
 
-def build_decode_tab(
-    lut: jnp.ndarray,  # [..., CA, 2**LUT_BITS] int — fine-slot -> symbol
-    freqs: jnp.ndarray,  # [..., CA, 1024] uint32
-    cdfs: jnp.ndarray,  # [..., CA, 1024] uint32
-    scale_bits: jnp.ndarray,  # [..., CA] int32
-) -> jnp.ndarray:
-    """Merge every per-step table into ONE gatherable u32[..., CA,
-    2**LUT_BITS, 2] keyed directly by the LOW LUT_BITS bits of the lane
-    state (slot = low & ((1 << bits) - 1) for any bits <= LUT_BITS, so
-    one key serves all per-bucket scales):
+def pack_freq_cdf(freqs: jnp.ndarray, cdfs: jnp.ndarray) -> jnp.ndarray:
+    """(freq << 16) | cdf packed u32 table — build ONCE outside the
+    decode scan so the freq/cdf lookup is a single small-table gather.
 
-        word0 = (freq << 16) | (slot - cdf)     # fr, diff of x_new
-        word1 = (bits << 16) | sym
-
-    The decode scan then does a single table gather per step instead of
-    three chained ones (scale_bits -> lut -> freq/cdf) — per-step gather
-    ops dominate the scan's wall clock on TPU. slot - cdf >= 0 always
-    (the LUT picks the last symbol with scaled cdf <= fine), freq <=
-    2**14 and diff < freq fit their 16-bit halves, sym <= 1023. Built
-    once per decode call with three bulk gathers (~free)."""
-    bi = scale_bits.astype(jnp.uint32)  # [..., CA]
-    v = jnp.arange(1 << LUT_BITS, dtype=jnp.uint32)  # [F]
-    mask = ((jnp.uint32(1) << bi) - jnp.uint32(1))[..., None]  # [..., CA, 1]
-    slot = v & mask  # [..., CA, F]
-    shift = (jnp.uint32(LUT_BITS) - bi)[..., None]
-    fine = (slot << shift).astype(jnp.int32)
-    sym = jnp.take_along_axis(lut.astype(jnp.int32), fine, axis=-1)
-    fr = jnp.take_along_axis(freqs.astype(jnp.uint32), sym, axis=-1)
-    cd = jnp.take_along_axis(cdfs.astype(jnp.uint32), sym, axis=-1)
-    word0 = (fr << jnp.uint32(16)) | (slot - cd)
-    word1 = (bi[..., None] << jnp.uint32(16)) | sym.astype(jnp.uint32)
-    return jnp.stack([word0, word1], axis=-1)
+    Measured note (round 2): merging ALL per-step tables into one
+    [CA, 2**LUT_BITS, 2] u32 table keyed by the low state bits (one
+    gather/step) was 2.5x SLOWER than this split layout — TPU gather
+    cost scales with the gathered table's HBM footprint, not the gather
+    op count. Keep per-step tables small instead."""
+    return (freqs.astype(jnp.uint32) << jnp.uint32(16)) | cdfs.astype(
+        jnp.uint32
+    )
 
 
 def decode_step_stream(
@@ -192,19 +172,28 @@ def decode_step_stream(
     buckets: jnp.ndarray,  # [C, NL] int32
     active: jnp.ndarray,  # [C, NL] bool
     stream: jnp.ndarray,  # [W] uint16 global word stream
-    tab: jnp.ndarray,  # [C, CA, 2**LUT_BITS, 2] u32 from build_decode_tab
+    lut: jnp.ndarray,  # [C, CA, 2**LUT_BITS] int16 fine-slot -> symbol
+    fcd: jnp.ndarray,  # [C, CA, 1024] uint32 packed (freq << 16) | cdf
+    scale_bits: jnp.ndarray,  # [C, CA] int32
 ):
     """One decode step for all channels x lanes against the global
     stream. Word order within the step: channel-major, lane-minor — must
     match schedule.build_stream_perm. Returns (sym [C, NL] i32, x', gptr')."""
     bkt = jnp.clip(buckets, 0, CONTEXT_AMOUNT - 1).astype(jnp.int32)
-    low = (x & jnp.uint32((1 << LUT_BITS) - 1)).astype(jnp.int32)
-    g2 = jax.vmap(lambda t, bk, lo: t[bk, lo])(tab, bkt, low)  # [C, NL, 2]
-    fr = g2[..., 0] >> jnp.uint32(16)
-    diff = g2[..., 0] & jnp.uint32(0xFFFF)
-    bi = g2[..., 1] >> jnp.uint32(16)
-    sym = (g2[..., 1] & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    x_new = fr * (x >> bi) + diff
+
+    g_bits = jax.vmap(lambda tab, bk: tab[bk])
+    g_lut = jax.vmap(lambda tab, bk, sl: tab[bk, sl])
+    g_tab = jax.vmap(lambda tab, bk, sm: tab[bk, sm])
+
+    bi = g_bits(scale_bits.astype(jnp.uint32), bkt)
+    mask = (jnp.uint32(1) << bi) - jnp.uint32(1)
+    slot = x & mask
+    fine = (slot << (jnp.uint32(LUT_BITS) - bi)).astype(jnp.int32)
+    sym = g_lut(lut, bkt, fine).astype(jnp.int32)
+    g = g_tab(fcd, bkt, sym)
+    fr = g >> jnp.uint32(16)
+    cd = g & jnp.uint32(0xFFFF)
+    x_new = fr * (x >> bi) + slot - cd
     need = active & (x_new < jnp.uint32(RANS_L))
     nf = need.reshape(-1).astype(jnp.int32)
     pos = jnp.cumsum(nf) - 1  # channel-major, lane-minor ordering

@@ -142,7 +142,8 @@ def test_external_predictor_params_roundtrip(backend):
         )
     ).encode(img)
     assert pinned == base_blob
-    # arbitrary external params: serialized verbatim + lossless
+    # arbitrary external params: legacy [3, 6] rows are expanded to the
+    # v8 per-level fine rows and serialized at the f16 wire precision
     my_vp = np.asarray(
         [[0.5, 0.2, 0.2, 0.05, 0.03, 0.02]] * 3, dtype=np.float32
     )
@@ -150,8 +151,12 @@ def test_external_predictor_params_roundtrip(backend):
         EncoderOptions(backend=backend, value_prediction_params=my_vp)
     ).encode(img)
     ci2 = deserialize(blob)
+    from frave_tpu.fractal.schedule import get_schedule
+
+    sched = get_schedule(48, 48)
+    expect = sched.expand_params(my_vp).astype(np.float16).astype(np.float32)
     np.testing.assert_array_equal(
-        ci2.channel_data[0].value_prediction_parameters, my_vp
+        ci2.channel_data[0].value_prediction_parameters, expect
     )
     out = FRIDecoder(backend=backend).decode(blob)
     np.testing.assert_array_equal(out.data, img.data)
