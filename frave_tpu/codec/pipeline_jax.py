@@ -21,9 +21,11 @@ host<->device cost model (SURVEY.md section 7):
   * Decode is a single lax.scan over wavefront steps: every step gathers
     causal neighbours, recomputes contexts (identical f32 op sequence as
     encode — the self-consistency contract of entropy_coding.rs:205-264),
-    advances all rANS lanes of all channels once, scatters decoded
-    coefficients; then dequantizes, inverse-lifts and emits pixels — one
-    fetch.
+    advances all rANS lanes of all channels once (ONE merged-table
+    gather + one-hot contractions — batched-index gathers cost ~600us
+    each on this TPU regardless of table size, see
+    rans_jax.decode_step_merged), scatters decoded coefficients; then
+    dequantizes, inverse-lifts and emits pixels — one fetch.
   * Batching: same-shape images vmap over a leading batch axis, so a
     corpus pays the fetch latency once per batch, not per image.
 
@@ -53,6 +55,7 @@ from ..images import (
 from ..entropy.tables import (
     ALPHABET_SIZE,
     CONTEXT_AMOUNT,
+    ENC_FREQ_BITS_CAP,
     _LAPLACE_ROWS,
 )
 from ..entropy.tables_jax import finalize_contexts_device
@@ -61,9 +64,9 @@ from ..fractal.schedule import default_num_lanes, get_lane_steps, get_schedule
 from ..ops import jax_ops as J
 from ..ops.rans_jax import (
     LUT_BITS,
-    decode_step_stream,
+    build_merged_decode_table,
+    decode_step_merged,
     encode_scan,
-    pack_freq_cdf,
     stream_compact,
 )
 from .options import EncoderOptions, quantization_matrix
@@ -71,6 +74,17 @@ from .options import EncoderOptions, quantization_matrix
 
 def _next_pow2(x: int) -> int:
     return 1 << max(0, int(x - 1).bit_length())
+
+
+def pick_lut_bits(wire_bits: np.ndarray) -> int:
+    """Merged decode-table size for a batch: the encoder cap for streams
+    this encoder produced, the legacy wire max for older (13/14-bit)
+    containers — at most two compiled program variants per shape."""
+    return (
+        ENC_FREQ_BITS_CAP
+        if int(np.asarray(wire_bits).max()) <= ENC_FREQ_BITS_CAP
+        else LUT_BITS
+    )
 
 
 def _gram_solve(G: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -244,12 +258,26 @@ class CodecProgram:
                     axis=-1,
                 )
 
+            # ALL fit einsums run at HIGHEST precision. Not for fit
+            # quality: the fitted params feed BOTH the bucket/symbol
+            # computation and the wire headers, and XLA may duplicate
+            # this subgraph into the two consumers with different
+            # precision decisions per instance (measured on the target
+            # TPU, round 2: default-precision vmapped einsums lower to
+            # bf16 on the MXU, and an image encoded with in-graph fits
+            # was self-INCONSISTENT — the header params differed from
+            # the params the symbols were formed with — while
+            # pinned-param encodes were bit-exact vs CPU). Exact
+            # contractions make every duplicated instance agree; the
+            # optimization_barrier below additionally pins ONE
+            # materialized value for both consumers.
+            _HI = jax.lax.Precision.HIGHEST
             Gs, bs = [], []
             for (lo, hi) in group_ranges:
                 Xs = vals[:, lo:hi].astype(jnp.float32)  # [C, kg, 6]
                 ys = target[:, lo:hi].astype(jnp.float32)
-                Gs.append(jnp.einsum("ckx,cky->cxy", Xs, Xs))
-                bs.append(jnp.einsum("ckx,ck->cx", Xs, ys))
+                Gs.append(jnp.einsum("ckx,cky->cxy", Xs, Xs, precision=_HI))
+                bs.append(jnp.einsum("ckx,ck->cx", Xs, ys, precision=_HI))
             G = jnp.stack(Gs, axis=1)  # [C, F, 6, 6]
             bv = jnp.stack(bs, axis=1)
             vparams = _gram_solve(G, bv)  # [C, F, 6]
@@ -259,23 +287,27 @@ class CodecProgram:
             # value predictor
             vparams = jnp.where(use_ovr, vp_ovr, vparams)
             # round to the f16 wire precision BEFORE any residual math —
-            # decode recomputes predictions from the wire values
-            vparams = vparams.astype(jnp.float16).astype(jnp.float32)
+            # decode recomputes predictions from the wire values. Uses
+            # the exact integer-op rounding (J.f16_wire_round): XLA's
+            # f16 convert is NOT IEEE RNE on this TPU (see that helper).
+            vparams = jax.lax.optimization_barrier(J.f16_wire_round(vparams))
 
             Gws, bws = [], []
             for g, (lo, hi) in enumerate(group_ranges):
                 Xs = vals[:, lo:hi].astype(jnp.float32)
                 ys = target[:, lo:hi].astype(jnp.float32)
-                pred_g = jnp.einsum("ckx,cx->ck", Xs, vparams[:, g])
+                pred_g = jnp.einsum(
+                    "ckx,cx->ck", Xs, vparams[:, g], precision=_HI
+                )
                 rg = jnp.abs(ys - pred_g)
                 Fs = feats(Xs)
-                Gws.append(jnp.einsum("ckx,cky->cxy", Fs, Fs))
-                bws.append(jnp.einsum("ckx,ck->cx", Fs, rg))
+                Gws.append(jnp.einsum("ckx,cky->cxy", Fs, Fs, precision=_HI))
+                bws.append(jnp.einsum("ckx,ck->cx", Fs, rg, precision=_HI))
             Gw = jnp.stack(Gws, axis=1)
             bw = jnp.stack(bws, axis=1)
             wparams = _gram_solve(Gw, bw)
             wparams = jnp.where(use_wovr, wp_ovr, wparams)
-            wparams = wparams.astype(jnp.float16).astype(jnp.float32)
+            wparams = jax.lax.optimization_barrier(J.f16_wire_round(wparams))
 
             # --- contexts + symbols (parallel over all K on encode)
             buckets, preds = jax.vmap(
@@ -375,6 +407,7 @@ class CodecProgram:
             pix_safe,
             node_mask,
             leaf_inb,
+            lut_bits=LUT_BITS,
         ):
             # --- regenerate context tables on device (context_from_wire
             # twin: all-zero hist, wire bits, wire off-mask)
@@ -388,33 +421,13 @@ class CodecProgram:
             bits, freqs_i, cdfs_i, _ = finalize_contexts_device(
                 zero_hist, lap, bits0=wire_bits, off_mask_in=off_mask
             )
-            freqs = freqs_i.astype(jnp.uint32)
-            cdfs = cdfs_i.astype(jnp.uint32)
-
-            # --- decode LUT: lut[f] = (#cdf_scaled <= f) - 1 via
-            # bincount+cumsum. Trailing zero-freq symbols have
-            # cdf == 1 << bits, which scales to exactly 1 << LUT_BITS —
-            # out of the fine-slot range; route them to a discard slot so
-            # they never pollute a neighbouring bucket's range.
-            shift = (jnp.uint32(LUT_BITS) - bits.astype(jnp.uint32))[..., None]
-            cdf_s = (cdfs << shift).astype(jnp.int32)  # [C, CONTEXT_AMOUNT, 1024] <= 2**14
-            row = (
-                jnp.arange(C * CONTEXT_AMOUNT, dtype=jnp.int32)[:, None]
-                * (1 << LUT_BITS)
-            ).reshape(C, CONTEXT_AMOUNT, 1)
-            n_lut = C * CONTEXT_AMOUNT * (1 << LUT_BITS)
-            ids = jnp.where(cdf_s < (1 << LUT_BITS), cdf_s + row, n_lut)
-            counts = (
-                jnp.zeros(n_lut + 1, jnp.int32)
-                .at[ids.reshape(-1)]
-                .add(1)[:n_lut]
-                .reshape(C, CONTEXT_AMOUNT, 1 << LUT_BITS)
+            # --- ONE merged (sym, freq, cdf) decode table, built with
+            # prefix ops only; lut_bits is static per program — the host
+            # dispatcher picks 2**ENC_FREQ_BITS_CAP for new streams and
+            # falls back to 2**MAX_FREQ_BITS_CAP for legacy wire bits
+            merged = build_merged_decode_table(
+                freqs_i, cdfs_i, bits, lut_bits
             )
-            # int16 LUT (symbols <= 1023): halves the per-step gather
-            # table's HBM footprint — table footprint, not gather count,
-            # is what the scan pays for (see rans_jax.pack_freq_cdf note)
-            lut = (jnp.cumsum(counts, axis=-1) - 1).astype(jnp.int16)
-            fcd = pack_freq_cdf(freqs, cdfs)
 
             # int16 coefficient plane (same bound argument as encode:
             # |unpack_signed(sym <= 1023)| + |pred <= 255| <= 767 even on
@@ -431,8 +444,8 @@ class CodecProgram:
                 )(vals, vparams, wparams)
                 buckets = jnp.where(fbkt[None] >= 0, fbkt[None], buckets)
                 act = jnp.broadcast_to(active[None], (C, nl))
-                sym, x, gptr = decode_step_stream(
-                    x, gptr, buckets, act, stream, lut, fcd, bits
+                sym, x, gptr = decode_step_merged(
+                    x, gptr, buckets, act, stream, merged, bits, lut_bits
                 )
                 values = J.unpack_signed(sym) + preds
                 wslot = jnp.where(act, coef_safe[None], n_slots)
@@ -518,19 +531,26 @@ class CodecProgram:
             *self._enc_args, self._perm,
         )
 
-    def decode_exec(self, states, stream, wire_bits, offpk, vp, wp, qdiv):
+    def decode_exec(
+        self, states, stream, wire_bits, offpk, vp, wp, qdiv,
+        lut_bits: int = LUT_BITS,
+    ):
         """Batched (axis 0) wire fields -> pixels [B, C, HW] uint8.
-        stream: [B, W] u16 zero-padded global streams. qdiv is batched
-        ([B, N]) so one batch may mix quality levels / quantization
-        matrices — each image dequantizes with its own table."""
+        stream: [B, W] u16 global streams, zero-padded by >= C*nl words
+        past the longest stream (decode_step_merged's dynamic_slice
+        contract). qdiv is batched ([B, N]) so one batch may mix quality
+        levels / quantization matrices — each image dequantizes with its
+        own table. lut_bits sizes the merged decode table (static per
+        compiled program); every wire_bits value must be <= lut_bits."""
         B = states.shape[0]
         W = stream.shape[-1]
-        key = (B, W)
+        key = (B, W, lut_bits)
         fn = self._dec_jit.get(key)
         if fn is None:
+            dec = self._decode_fused
             fn = jax.jit(
                 jax.vmap(
-                    self._decode_fused,
+                    lambda *a: dec(*a, lut_bits=lut_bits),
                     in_axes=(0,) * 7 + (None,) * 10,
                 )
             )
@@ -792,7 +812,10 @@ def assemble_wire_batch(images: List[CompressedImage], nl: int):
     maxw = 1
     for im in images:
         maxw = max(maxw, int(np.asarray(im.stream).shape[0]))
-    Wpad = _next_pow2(max(64, maxw))
+    # pad >= C*nl zero words past the longest stream: decode_step_merged
+    # reads each step's word block with one dynamic_slice at gptr, whose
+    # window must never clamp against the array end
+    Wpad = _next_pow2(max(64, maxw + C * nl))
 
     sched = get_schedule(meta.height, meta.width, mode=images[0].mode)
     F = sched.num_fine
@@ -859,6 +882,7 @@ def decode_pipeline_jax_batch(
     )
     qdiv = jnp.asarray(qdiv)
 
+    lut_bits = pick_lut_bits(bits)
     pixels_dev = prog.decode_exec(
         jnp.asarray(states),
         jnp.asarray(streams),
@@ -867,6 +891,7 @@ def decode_pipeline_jax_batch(
         jnp.asarray(vparams),
         jnp.asarray(wparams),
         qdiv,
+        lut_bits,
     )  # async launch; np.asarray below is the ONE fetch
     if _defer:
         return pixels_dev, meta, C

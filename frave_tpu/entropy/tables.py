@@ -54,6 +54,13 @@ CONTEXT_AMOUNT = 15
 MIN_FREQ_BITS = 8
 MAX_FREQ_BITS_CAP = 14
 NUM_BITS_CHOICES = MAX_FREQ_BITS_CAP - MIN_FREQ_BITS + 1  # 7
+# Encoder-side cap, below the wire/decoder max: the decode LUT's size is
+# 2^bits per context, and on this TPU every additional bit doubles the
+# per-batch table footprint and its per-call construction cost while the
+# measured rate cost of 12-vs-14-bit probability resolution is +0.03%
+# (synthetic probe, round 2). Decoders must keep accepting up to
+# MAX_FREQ_BITS_CAP — v7/v8 streams on the wire carry 13/14-bit contexts.
+ENC_FREQ_BITS_CAP = 12
 
 # (exp(-1/width), 1/(2*width)) as IEEE-754 f64 hex literals per bucket
 # width. Hardcoded for cross-platform determinism (see module docstring).
@@ -242,7 +249,9 @@ def context_from_histogram(hist: np.ndarray, bucket: int) -> ContextTables:
     clamped to [MIN_FREQ_BITS, MAX_FREQ_BITS_CAP]."""
     total = int(hist.sum())
     bits = int(total).bit_length() - 1 if total > 0 else MIN_FREQ_BITS
-    return finalize_context(hist, bucket, bits)
+    # The bump loop never exceeds this cap: nnz <= ALPHABET_SIZE = 1024
+    # <= 2^ENC_FREQ_BITS_CAP, so every data symbol keeps freq >= 1.
+    return finalize_context(hist, bucket, min(bits, ENC_FREQ_BITS_CAP))
 
 
 def context_from_wire(bucket: int, max_freq_bits: int, off_list: Sequence[int]) -> ContextTables:

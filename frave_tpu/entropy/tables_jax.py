@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from .tables import (
     ALPHABET_SIZE,
     CONTEXT_AMOUNT,
+    ENC_FREQ_BITS_CAP,
     MAX_FREQ_BITS_CAP,
     MIN_FREQ_BITS,
     NUM_BITS_CHOICES,
@@ -51,9 +52,11 @@ def finalize_contexts_device(
     total = jnp.sum(h, axis=-1)  # [..., CA]
 
     if bits0 is None:
-        # bits0 = clamp(bit_length(total) - 1, 8, 14)
+        # bits0 = clamp(bit_length(total) - 1, MIN, ENC cap) — the
+        # encode side stays under ENC_FREQ_BITS_CAP (tables.py note);
+        # only wire bits (decode side, branch below) may reach 14.
         bits0 = jnp.full(total.shape, MIN_FREQ_BITS, jnp.int32)
-        for k in range(MIN_FREQ_BITS + 1, MAX_FREQ_BITS_CAP + 1):
+        for k in range(MIN_FREQ_BITS + 1, ENC_FREQ_BITS_CAP + 1):
             bits0 = bits0 + (total >= (1 << k)).astype(jnp.int32)
     else:
         bits0 = jnp.clip(bits0.astype(jnp.int32), MIN_FREQ_BITS, MAX_FREQ_BITS_CAP)
@@ -66,8 +69,15 @@ def finalize_contexts_device(
     # that XLA maps onto the MXU instead of a 7x-wide elementwise sweep.
     lap_nnz = jnp.sum((lap > 0).astype(jnp.int32), axis=-1)  # [CA, 7]
     lap_zero_f = (lap == 0).astype(jnp.float32)  # [CA, 7, 1024]
+    # HIGHEST precision: under vmap this contraction lowers onto the MXU
+    # with bf16-truncated inputs by default (measured on the target TPU:
+    # vmapped one-hot matvecs of >8-bit values are INEXACT at default
+    # precision); table bits must be exact or streams break
     extra = jnp.einsum(
-        "...ca,cka->...ck", data.astype(jnp.float32), lap_zero_f
+        "...ca,cka->...ck",
+        data.astype(jnp.float32),
+        lap_zero_f,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [..., CA, 7]
     nnz_all = lap_nnz + extra.astype(jnp.int32)  # [..., CA, 7]
 
@@ -84,8 +94,14 @@ def finalize_contexts_device(
     onehot = (
         sel[..., None] == jnp.arange(NUM_BITS_CHOICES, dtype=jnp.int32)
     ).astype(jnp.float32)  # [..., CA, 7]
+    # HIGHEST precision — lap row values reach 2^14, far past bf16's
+    # 8-bit mantissa; a truncated row here silently corrupts every
+    # frequency table built on device (see `extra` note above)
     lap_sel = jnp.einsum(
-        "...ck,cka->...ca", onehot, lap.astype(jnp.float32)
+        "...ck,cka->...ca",
+        onehot,
+        lap.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(jnp.int32)  # [..., CA, 1024]
     filled = jnp.where(lap_sel > 0, lap_sel, jnp.where(data, 1, 0))
     off_mask = data_raw & (lap_sel == 0)

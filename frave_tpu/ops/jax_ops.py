@@ -34,6 +34,60 @@ def trunc_div(a: jnp.ndarray, q) -> jnp.ndarray:
     return jnp.where(a < 0, -((-a) // q), a // q)
 
 
+def f16_wire_round(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 -> the IEEE-754 binary16 round-to-nearest-even value, as f32.
+
+    Format v8 ships predictor parameters as f16 on the wire, and the
+    encoder must form residuals with EXACTLY the wire values (the
+    self-consistency contract of entropy_coding.rs:205-264). On this
+    TPU, XLA's `astype(f16).astype(f32)` does NOT implement IEEE f16
+    RNE (measured round 2: maxdiff 0.99 vs numpy's conversion — an
+    encode whose in-graph fits went through it produced undecodable
+    streams because the host container then re-rounded the fetched
+    params to real f16). So the rounding is done here with exact
+    integer/VPU ops only:
+
+      * normal f16 range (|x| >= 2^-14): RNE-truncate the f32 mantissa
+        to 10 bits via the standard `+ 0xFFF + lsb` carry trick
+        (mantissa overflow carries into the exponent, 65504 < |x| ->
+        inf falls out of the same carry);
+      * subnormal range (|x| < 2^-14): RNE onto the 2^-24 grid with an
+        explicit mantissa shift (q = RNE(m >> (126 - e)), result
+        q * 2^-24 — exact: q <= 1024 and 2^-24 is a normal f32). Pure
+        integer ops — a float-trick version ((|x| + 0.5) - 0.5) was
+        algebraically simplified away by XLA on TPU (measured);
+      * NaN propagates, sign is reapplied bitwise (so -0 survives).
+    """
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    sign = bits & jnp.uint32(0x80000000)
+    absb = bits & jnp.uint32(0x7FFFFFFF)
+
+    lsb = (absb >> jnp.uint32(13)) & jnp.uint32(1)
+    rounded = (absb + jnp.uint32(0xFFF) + lsb) & jnp.uint32(0xFFFFE000)
+    rounded = jnp.where(
+        rounded >= jnp.uint32(0x47800000), jnp.uint32(0x7F800000), rounded
+    )
+
+    # subnormal: value = m * 2^(e-150), grid quantum 2^-24 -> shift by
+    # 126 - e (f32-denormal inputs e=0 are < 2^-126, i.e. 0 on the grid)
+    e = absb >> jnp.uint32(23)
+    m = (absb & jnp.uint32(0x7FFFFF)) | jnp.uint32(0x800000)
+    shift = jnp.clip(jnp.uint32(126) - e, jnp.uint32(1), jnp.uint32(31))
+    half = jnp.uint32(1) << (shift - jnp.uint32(1))
+    q = (m + half - jnp.uint32(1) + ((m >> shift) & jnp.uint32(1))) >> shift
+    q = jnp.where(e == jnp.uint32(0), jnp.uint32(0), q)
+    sub = q.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+    sub_bits = jax.lax.bitcast_convert_type(sub, jnp.uint32)
+
+    out_abs = jnp.where(
+        absb >= jnp.uint32(0x38800000), rounded, sub_bits
+    )
+    out = jnp.where(
+        absb > jnp.uint32(0x7F800000), bits, sign | out_abs  # NaN passthrough
+    )
+    return jax.lax.bitcast_convert_type(out, jnp.float32)
+
+
 def forward_lifting(leaves: jnp.ndarray, leaf_mask: jnp.ndarray, depth: int) -> jnp.ndarray:
     """Haar-style lifting, bottom-up (wavelet_transform.rs:179-225).
 

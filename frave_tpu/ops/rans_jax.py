@@ -14,10 +14,11 @@ The TPU redesign of the reference's per-symbol serial coder
   * Decode is a `lax.scan` over wavefront steps: contexts for a whole step
     are computable from already-decoded coefficients (SURVEY.md section
     3.2), so each step decodes one symbol per active lane across all
-    channels. cdf -> symbol uses a host-precomputed [CONTEXT_AMOUNT, 2^14] LUT instead
-    of the reference's binary search + linear walk
-    (entropy_coding.rs:180-185,246-255) — semantics identical: the LUT
-    entry is the *last* symbol whose cdf <= slot.
+    channels. cdf -> symbol uses ONE on-device merged
+    [CONTEXT_AMOUNT, 2^lut_bits, 2] (sym, freq, cdf) table
+    (build_merged_decode_table) instead of the reference's binary search
+    + linear walk (entropy_coding.rs:180-185,246-255) — semantics
+    identical: the entry holds the *last* symbol whose cdf <= slot.
 
 All arithmetic stays in uint32: overflow-free by the rANS invariants
 (renorm guarantees x < freq << (32 - bits) before the encode step, and the
@@ -35,22 +36,6 @@ from ..entropy.tables import CONTEXT_AMOUNT
 RANS_L = 1 << 16
 WORD_BITS = 16
 LUT_BITS = 14  # == MAX_FREQ_BITS_CAP (frave_tpu/entropy/tables.py)
-
-
-def build_decode_lut(cdfs: np.ndarray, scale_bits: np.ndarray) -> np.ndarray:
-    """Host-side: [B, 1024] cdfs + [B] bits -> [B, 2**LUT_BITS] int16 LUT.
-
-    lut[b, slot << (LUT_BITS - bits_b)] == last symbol s with cdf[b, s] <=
-    slot, reproducing the duplicate-cdf linear-walk semantics of the
-    reference decoder (entropy_coding.rs:246-255)."""
-    B = cdfs.shape[0]
-    fine = np.arange(1 << LUT_BITS, dtype=np.uint64)
-    lut = np.zeros((B, 1 << LUT_BITS), dtype=np.int16)
-    for b in range(B):
-        shift = LUT_BITS - int(scale_bits[b])
-        cdf_s = cdfs[b].astype(np.uint64) << shift
-        lut[b] = (np.searchsorted(cdf_s, fine, side="right") - 1).astype(np.int16)
-    return lut
 
 
 def encode_scan(
@@ -152,18 +137,75 @@ def stream_compact(
     return stream, jnp.sum(fi)
 
 
-def pack_freq_cdf(freqs: jnp.ndarray, cdfs: jnp.ndarray) -> jnp.ndarray:
-    """(freq << 16) | cdf packed u32 table — build ONCE outside the
-    decode scan so the freq/cdf lookup is a single small-table gather.
+def build_merged_decode_table(
+    freqs: jnp.ndarray,  # [..., CA, 1024] uint32/int32
+    cdfs: jnp.ndarray,  # [..., CA, 1024]
+    scale_bits: jnp.ndarray,  # [..., CA] int32, every value <= lut_bits
+    lut_bits: int = LUT_BITS,
+) -> jnp.ndarray:
+    """One [..., CA, 2**lut_bits, 2] u32 table replacing the split
+    LUT/freq/cdf tables: entry[..., 0] = (freq << 16) | cdf (unscaled),
+    entry[..., 1] = symbol. The decode step then needs ONE
+    batched-index gather instead of three.
 
-    Measured note (round 2): merging ALL per-step tables into one
-    [CA, 2**LUT_BITS, 2] u32 table keyed by the low state bits (one
-    gather/step) was 2.5x SLOWER than this split layout — TPU gather
-    cost scales with the gathered table's HBM footprint, not the gather
-    op count. Keep per-step tables small instead."""
-    return (freqs.astype(jnp.uint32) << jnp.uint32(16)) | cdfs.astype(
-        jnp.uint32
+    Measured motivation (round-2 scan ablation, benchmarks/
+    scan_ablation.py): a batched-index gather costs ~500-650us/step at
+    B=64 on this TPU *regardless of table size*, so three separate
+    lookups (bits, LUT, freq/cdf) triple the cost for nothing. The
+    earlier merged-table attempt was 2.5x slower end-to-end because its
+    table was built WITH batched gathers (freq[sym[p]] style) — ~1e9
+    indexed lookups per call. This construction uses only a bincount
+    scatter + prefix ops (cumsum/cummax/cummin), exploiting run
+    structure: at fine position p inside symbol s's scaled run,
+    cdf[s] = run_start >> shift and freq[s] = run_length >> shift.
+
+    Entries are exact at every position the decode step reads
+    (fine = slot << (lut_bits - bits), slot in a coded symbol's
+    [cdf, cdf + freq) range); other positions carry the containing
+    run's entry. Duplicate cdfs resolve to the LAST symbol, matching
+    the reference decoder's linear walk (entropy_coding.rs:246-255)."""
+    L = int(lut_bits)
+    n_fine = 1 << L
+    lead = tuple(freqs.shape[:-2])
+    ca = freqs.shape[-2]
+    axis = freqs.ndim - 1
+    shift = (jnp.uint32(L) - scale_bits.astype(jnp.uint32))[..., None]
+    cdf_s = (cdfs.astype(jnp.uint32) << shift).astype(jnp.int32)
+
+    rows = ca
+    for d in lead:
+        rows *= d
+    n_tot = rows * n_fine
+    row_off = (jnp.arange(rows, dtype=jnp.int32) * n_fine).reshape(
+        lead + (ca, 1)
     )
+    # route cdf == 2**bits (trailing zero-freq symbols) to a discard slot
+    ids = jnp.where(cdf_s < n_fine, cdf_s + row_off, n_tot)
+    counts = (
+        jnp.zeros(n_tot + 1, jnp.int32)
+        .at[ids.reshape(-1)]
+        .add(1)[:n_tot]
+        .reshape(lead + (ca, n_fine))
+    )
+    sym = jnp.cumsum(counts, axis=-1) - 1  # [..., CA, n_fine]
+    prev = jnp.concatenate(
+        [jnp.full(sym.shape[:-1] + (1,), -1, sym.dtype), sym[..., :-1]],
+        axis=-1,
+    )
+    is_start = sym != prev
+    pos = jax.lax.broadcasted_iota(jnp.int32, sym.shape, axis)
+    start = jax.lax.cummax(jnp.where(is_start, pos, 0), axis=axis)
+    markers = jnp.where(is_start, pos, jnp.int32(n_fine))
+    rc = jax.lax.cummin(markers, axis=axis, reverse=True)
+    nxt = jnp.concatenate(
+        [rc[..., 1:], jnp.full(rc.shape[:-1] + (1,), n_fine, rc.dtype)],
+        axis=-1,
+    )
+    sh = shift.astype(jnp.int32)
+    freq_u = ((nxt - start) >> sh).astype(jnp.uint32)
+    cdf_u = (start >> sh).astype(jnp.uint32)
+    word0 = (freq_u << jnp.uint32(16)) | cdf_u
+    return jnp.stack([word0, sym.astype(jnp.uint32)], axis=-1)
 
 
 def decode_step_stream(
@@ -199,6 +241,70 @@ def decode_step_stream(
     pos = jnp.cumsum(nf) - 1  # channel-major, lane-minor ordering
     idx = jnp.clip(gptr + pos, 0, stream.shape[0] - 1)
     w = stream[idx].reshape(need.shape).astype(jnp.uint32)
+    x_new = jnp.where(need, (x_new << jnp.uint32(WORD_BITS)) | w, x_new)
+    x_next = jnp.where(active, x_new, x)
+    return sym, x_next, gptr + jnp.sum(nf)
+
+
+def decode_step_merged(
+    x: jnp.ndarray,  # [C, NL] uint32 lane states
+    gptr: jnp.ndarray,  # scalar int32 global stream pointer
+    buckets: jnp.ndarray,  # [C, NL] int32
+    active: jnp.ndarray,  # [C, NL] bool
+    stream: jnp.ndarray,  # [W] uint16, zero-padded >= C*NL past the end
+    merged: jnp.ndarray,  # [C, CA, 2**lut_bits, 2] u32 (build_merged_decode_table)
+    scale_bits: jnp.ndarray,  # [C, CA] int32, all <= lut_bits
+    lut_bits: int = LUT_BITS,
+):
+    """One decode step against the merged table — the fast path on this
+    TPU, where batched-index gathers cost ~600us each regardless of size
+    (scan ablation): the three table lookups of decode_step_stream
+    become (a) a one-hot contraction for scale_bits (15 entries — pure
+    vector ALU, exact in f32) and (b) ONE merged-table gather; the
+    per-step renorm words are read with one dynamic_slice at gptr (the
+    words a step consumes are contiguous in the global stream) and
+    distributed to lanes by a one-hot einsum over SPLIT BYTES: on this
+    TPU a vmapped einsum lowers onto the MXU with bf16-truncated inputs
+    (measured, round 2 — values > 8 bits significand are corrupted), so
+    the u16 words go through as two exact-in-bf16 byte planes and are
+    recombined after the contraction.
+
+    CALLER CONTRACT: stream must be zero-padded so gptr + C*NL never
+    exceeds its length (dynamic_slice would clamp the start and shift
+    the block); all scale_bits must be <= lut_bits. Word order within
+    the step is channel-major, lane-minor (build_stream_perm)."""
+    C, NL = x.shape
+    blk = C * NL
+    bkt = jnp.clip(buckets, 0, CONTEXT_AMOUNT - 1).astype(jnp.int32)
+
+    oh = (
+        bkt[..., None] == jnp.arange(CONTEXT_AMOUNT, dtype=jnp.int32)
+    ).astype(jnp.float32)  # [C, NL, CA]
+    bi = jnp.einsum(
+        "cnk,ck->cn", oh, scale_bits.astype(jnp.float32)
+    ).astype(jnp.uint32)
+    mask = (jnp.uint32(1) << bi) - jnp.uint32(1)
+    slot = x & mask
+    fine = (slot << (jnp.uint32(lut_bits) - bi)).astype(jnp.int32)
+    g2 = jax.vmap(lambda t, bk, f: t[bk, f])(merged, bkt, fine)  # [C, NL, 2]
+    w0 = g2[..., 0]
+    fr = w0 >> jnp.uint32(16)
+    cd = w0 & jnp.uint32(0xFFFF)
+    sym = g2[..., 1].astype(jnp.int32)
+    x_new = fr * (x >> bi) + slot - cd
+    need = active & (x_new < jnp.uint32(RANS_L))
+    nf = need.reshape(-1).astype(jnp.int32)
+    pos = jnp.cumsum(nf) - 1  # channel-major, lane-minor ordering
+    block = jax.lax.dynamic_slice(stream, (gptr,), (blk,))
+    block_bytes = jnp.stack(
+        [block & jnp.uint16(0xFF), block >> jnp.uint16(8)], axis=-1
+    ).astype(jnp.float32)  # [blk, 2] byte planes, each value <= 255
+    ohp = (
+        (pos[:, None] == jnp.arange(blk, dtype=jnp.int32))
+        & (nf[:, None] > 0)
+    ).astype(jnp.float32)  # [C*NL, blk]
+    wb = jnp.einsum("nb,bk->nk", ohp, block_bytes).astype(jnp.uint32)
+    w = (wb[..., 0] | (wb[..., 1] << jnp.uint32(8))).reshape(C, NL)
     x_new = jnp.where(need, (x_new << jnp.uint32(WORD_BITS)) | w, x_new)
     x_next = jnp.where(active, x_new, x)
     return sym, x_next, gptr + jnp.sum(nf)

@@ -273,14 +273,22 @@ class ShardedEncoder:
                 ]
             )  # [F, Kl]
             # contract k without materializing the [Bl,C,F,Kl,6] masked
-            # design tensor (F grew 3 -> ~11 with the v8 per-level fits)
-            G = jnp.einsum("gk,bckx,bcky->bcgxy", gmask, Xf, Xf)
-            bv = jnp.einsum("gk,bckx,bck->bcgx", gmask, Xf, yf)
+            # design tensor (F grew 3 -> ~11 with the v8 per-level fits).
+            # HIGHEST precision + optimization_barrier after the wire
+            # rounding: the params feed both the symbol formation and the
+            # wire headers, and a duplicated default-precision (bf16 MXU)
+            # fit subgraph can disagree between the two consumers — see
+            # the self-consistency note in pipeline_jax.encode_fused.
+            _HI = jax.lax.Precision.HIGHEST
+            G = jnp.einsum("gk,bckx,bcky->bcgxy", gmask, Xf, Xf, precision=_HI)
+            bv = jnp.einsum("gk,bckx,bck->bcgx", gmask, Xf, yf, precision=_HI)
             G = jax.lax.psum(G, "tp")
             bv = jax.lax.psum(bv, "tp")
             vparams = _gram_solve(G, bv)  # [Bl, C, F, 6]
-            # f16 wire rounding before any residual math (format v8)
-            vparams = vparams.astype(jnp.float16).astype(jnp.float32)
+            # f16 wire rounding before any residual math (format v8);
+            # J.f16_wire_round because XLA's f16 convert is not IEEE RNE
+            # on this TPU (see that helper's docstring)
+            vparams = jax.lax.optimization_barrier(J.f16_wire_round(vparams))
 
             vp_by_k = jnp.take_along_axis(
                 vparams,
@@ -301,13 +309,15 @@ class ShardedEncoder:
                 axis=-1,
             )
             Gw = jax.lax.psum(
-                jnp.einsum("gk,bckx,bcky->bcgxy", gmask, F, F), "tp"
+                jnp.einsum("gk,bckx,bcky->bcgxy", gmask, F, F, precision=_HI),
+                "tp",
             )
             bw = jax.lax.psum(
-                jnp.einsum("gk,bckx,bck->bcgx", gmask, F, r), "tp"
+                jnp.einsum("gk,bckx,bck->bcgx", gmask, F, r, precision=_HI),
+                "tp",
             )
             wparams = _gram_solve(Gw, bw)
-            wparams = wparams.astype(jnp.float16).astype(jnp.float32)
+            wparams = jax.lax.optimization_barrier(J.f16_wire_round(wparams))
 
             def ctx_one(v, lfm, grp, vp, wp):
                 return J.contexts(v, lfm, grp, vp, wp)
@@ -601,7 +611,12 @@ class TPShardedDecoder:
 
     def _build(self, prog, nl, n_dev, W):
         from ..entropy.tables_jax import finalize_contexts_device
-        from ..ops.rans_jax import LUT_BITS, RANS_L, WORD_BITS
+        from ..ops.rans_jax import (
+            LUT_BITS,
+            RANS_L,
+            WORD_BITS,
+            build_merged_decode_table,
+        )
 
         C = self.channels
         NLl = nl // n_dev
@@ -640,24 +655,13 @@ class TPShardedDecoder:
             bits, freqs_i, cdfs_i, _ = finalize_contexts_device(
                 zero_hist, lap, bits0=wire_bits, off_mask_in=off_mask
             )
-            freqs = freqs_i.astype(jnp.uint32)
-            cdfs = cdfs_i.astype(jnp.uint32)
-            shift = (jnp.uint32(LUT_BITS) - bits.astype(jnp.uint32))[..., None]
-            cdf_s = (cdfs << shift).astype(jnp.int32)
-            row = (
-                jnp.arange(C * CONTEXT_AMOUNT, dtype=jnp.int32)[:, None]
-                * (1 << LUT_BITS)
-            ).reshape(C, CONTEXT_AMOUNT, 1)
-            n_lut = C * CONTEXT_AMOUNT * (1 << LUT_BITS)
-            ids = jnp.where(cdf_s < (1 << LUT_BITS), cdf_s + row, n_lut)
-            counts = (
-                jnp.zeros(n_lut + 1, jnp.int32)
-                .at[ids.reshape(-1)]
-                .add(1)[:n_lut]
-                .reshape(C, CONTEXT_AMOUNT, 1 << LUT_BITS)
+            # ONE merged (sym, freq, cdf) table (decode_step_merged's
+            # layout): a batched-index gather costs the same regardless
+            # of table size on this TPU, so fold the three lookups into
+            # one (see rans_jax.build_merged_decode_table)
+            merged = build_merged_decode_table(
+                freqs_i, cdfs_i, bits, LUT_BITS
             )
-            lut = (jnp.cumsum(counts, axis=-1) - 1).astype(jnp.int16)
-            fcd = (freqs << jnp.uint32(16)) | cdfs
 
             s_idx = jax.lax.axis_index(axes[0]) if len(axes) == 1 else (
                 jax.lax.axis_index(axes[0]) * self.mesh.shape[axes[1]]
@@ -668,9 +672,7 @@ class TPShardedDecoder:
             qpad0 = jnp.zeros((C, n_slots + 1), dtype=jnp.int32)
             gptr0 = jnp.int32(0)
 
-            g_bits = jax.vmap(lambda tab, bk: tab[bk])
-            g_lut = jax.vmap(lambda tab, bk, sl: tab[bk, sl])
-            g_tab = jax.vmap(lambda tab, bk, sm: tab[bk, sm])
+            g_mrg = jax.vmap(lambda tab, bk, f: tab[bk, f])
 
             def body(carry, xs):
                 qpad, x, gptr = carry
@@ -685,16 +687,23 @@ class TPShardedDecoder:
                     active_all, (lane_lo,), (NLl,)
                 )
                 act = jnp.broadcast_to(act_l[None], (C, NLl))
-                # rANS symbol extraction (local)
+                # rANS symbol extraction (local): one-hot scale_bits +
+                # one merged-table gather
                 bkt = jnp.clip(buckets, 0, CONTEXT_AMOUNT - 1).astype(jnp.int32)
-                bi = g_bits(bits.astype(jnp.uint32), bkt)
+                oh = (
+                    bkt[..., None]
+                    == jnp.arange(CONTEXT_AMOUNT, dtype=jnp.int32)
+                ).astype(jnp.float32)
+                bi = jnp.einsum(
+                    "cnk,ck->cn", oh, bits.astype(jnp.float32)
+                ).astype(jnp.uint32)
                 mask = (jnp.uint32(1) << bi) - jnp.uint32(1)
                 slot = x & mask
                 fine = (slot << (jnp.uint32(LUT_BITS) - bi)).astype(jnp.int32)
-                sym = g_lut(lut, bkt, fine).astype(jnp.int32)
-                g = g_tab(fcd, bkt, sym)
-                fr = g >> jnp.uint32(16)
-                cd = g & jnp.uint32(0xFFFF)
+                g2 = g_mrg(merged, bkt, fine)
+                fr = g2[..., 0] >> jnp.uint32(16)
+                cd = g2[..., 0] & jnp.uint32(0xFFFF)
+                sym = g2[..., 1].astype(jnp.int32)
                 x_new = fr * (x >> bi) + slot - cd
                 need = act & (x_new < jnp.uint32(RANS_L))
                 values_l = jnp.where(
@@ -821,20 +830,22 @@ class ShardedDecoder:
     def __post_init__(self):
         self._jit_cache = {}
 
-    def _program(self, nl: int, mode: str, B: int, W: int):
+    def _program(self, nl: int, mode: str, B: int, W: int, lut_bits: int):
         from ..codec.pipeline_jax import get_program
 
         prog = get_program(
             self.height, self.width, BASE_FRAC_DEPTH, nl, self.channels, mode
         )
-        key = (nl, mode, B, W)
+        key = (nl, mode, B, W, lut_bits)
         fn = self._jit_cache.get(key)
         if fn is None:
             axes = tuple(self.mesh.axis_names)  # batch shards over ALL axes
+            dec = prog._decode_fused
             fn = jax.jit(
                 _shard_map(
                     jax.vmap(
-                        prog._decode_fused, in_axes=(0,) * 7 + (None,) * 10
+                        lambda *a: dec(*a, lut_bits=lut_bits),
+                        in_axes=(0,) * 7 + (None,) * 10,
                     ),
                     mesh=self.mesh,
                     in_specs=(P(axes),) * 7 + (P(),) * 10,
@@ -871,7 +882,11 @@ class ShardedDecoder:
         padded = images + [images[-1]] * (B - B0)
 
         wire = assemble_wire_batch(padded, nl)
-        prog, fn = self._program(nl, mode, B, wire[1].shape[-1])
+        from ..codec.pipeline_jax import pick_lut_bits
+
+        prog, fn = self._program(
+            nl, mode, B, wire[1].shape[-1], pick_lut_bits(wire[2])
+        )
         pixels_dev = fn(
             *(jnp.asarray(a) for a in wire),
             prog._lap,

@@ -358,3 +358,27 @@ def test_lossy_rgb_clamped_transform_rate_win():
     out = FRIDecoder(backend="numpy").decode(b_on)
     err = np.abs(out.data.astype(np.int32) - img.data.astype(np.int32))
     assert err.max() < 64
+
+
+def test_legacy_wide_freq_bits_decode(monkeypatch):
+    """Containers from pre-cap encoders may carry 13/14-bit contexts
+    (ENC_FREQ_BITS_CAP landed at 12 in round 2); the jax decoder must
+    keep accepting them via the 2**MAX_FREQ_BITS_CAP merged table
+    (pipeline_jax.pick_lut_bits legacy branch). Emulate an old encoder
+    by lifting the cap on the numpy backend, then decode with jax."""
+    import frave_tpu.entropy.tables as T
+    from frave_tpu.codec.pipeline_jax import pick_lut_bits
+    from frave_tpu.ops.rans_jax import LUT_BITS
+
+    monkeypatch.setattr(T, "ENC_FREQ_BITS_CAP", T.MAX_FREQ_BITS_CAP)
+    img = _natural_image(192, 192, 1, seed=33)
+    blob = FRIEncoder(EncoderOptions(backend="numpy")).encode(img)
+    comp = deserialize(blob)
+    bits = np.asarray(
+        [c.max_freq_bits for ch in comp.channel_data if ch is not None
+         for c in ch.ans_contexts]
+    )
+    assert bits.max() > 12, "fixture must exercise the wide-bits path"
+    assert pick_lut_bits(bits) == LUT_BITS
+    out = FRIDecoder(backend="jax").decode(blob)
+    np.testing.assert_array_equal(out.data, img.data)

@@ -167,3 +167,107 @@ def test_zero_freq_symbol_raises():
             bits,
             4,
         )
+
+
+def _bruteforce_lut(cdfs, bits, lut_bits):
+    """lut[b, fine] = last symbol with scaled cdf <= fine (the reference
+    decoder's duplicate-cdf linear-walk semantics)."""
+    B = cdfs.shape[0]
+    fine = np.arange(1 << lut_bits, dtype=np.uint64)
+    lut = np.zeros((B, 1 << lut_bits), dtype=np.int64)
+    for b in range(B):
+        cdf_s = cdfs[b].astype(np.uint64) << (lut_bits - int(bits[b]))
+        lut[b] = np.searchsorted(cdf_s, fine, side="right") - 1
+    return lut
+
+
+@pytest.mark.parametrize("lut_bits", [12, 14])
+def test_merged_decode_table_matches_bruteforce(lut_bits):
+    """build_merged_decode_table's prefix-op construction must agree with
+    the brute-force searchsorted LUT + direct freq/cdf lookups at every
+    fine position a decode step can read."""
+    import jax.numpy as jnp
+
+    from frave_tpu.ops.rans_jax import build_merged_decode_table
+
+    rng = np.random.default_rng(42)
+    freqs, cdfs, bits = _make_contexts(rng)
+    assert bits.max() <= lut_bits
+    merged = np.asarray(
+        build_merged_decode_table(
+            jnp.asarray(freqs.astype(np.int32)),
+            jnp.asarray(cdfs.astype(np.int32)),
+            jnp.asarray(bits),
+            lut_bits,
+        )
+    )
+    lut = _bruteforce_lut(cdfs, bits, lut_bits)
+    for b in range(CONTEXT_AMOUNT):
+        # every reachable fine position: slot << (lut_bits - bits_b)
+        slots = np.arange(1 << int(bits[b]), dtype=np.int64)
+        fine = slots << (lut_bits - int(bits[b]))
+        sym_ref = lut[b, fine]
+        assert np.array_equal(merged[b, fine, 1], sym_ref)
+        w0 = merged[b, fine, 0].astype(np.uint64)
+        assert np.array_equal(w0 >> 16, freqs[b, sym_ref])
+        assert np.array_equal(w0 & 0xFFFF, cdfs[b, sym_ref])
+
+
+def test_decode_step_merged_matches_stream():
+    """decode_step_merged (one-gather fast path) and decode_step_stream
+    (split tables) must be bit-identical on random lane states."""
+    import jax.numpy as jnp
+
+    from frave_tpu.ops.rans_jax import (
+        LUT_BITS,
+        RANS_L,
+        build_merged_decode_table,
+        decode_step_merged,
+        decode_step_stream,
+    )
+
+    rng = np.random.default_rng(3)
+    freqs, cdfs, bits = _make_contexts(rng)
+    C, NL = 3, 16
+    freqs3 = np.stack([freqs] * C)
+    cdfs3 = np.stack([cdfs] * C)
+    bits3 = np.stack([bits] * C)
+    lut = _bruteforce_lut(
+        cdfs3.reshape(-1, ALPHABET_SIZE),
+        bits3.reshape(-1),
+        LUT_BITS,
+    ).reshape(C, CONTEXT_AMOUNT, 1 << LUT_BITS).astype(np.int16)
+    merged = build_merged_decode_table(
+        jnp.asarray(freqs3.astype(np.int32)),
+        jnp.asarray(cdfs3.astype(np.int32)),
+        jnp.asarray(bits3),
+        LUT_BITS,
+    )
+    fcd = (jnp.asarray(freqs3.astype(np.uint32)) << jnp.uint32(16)) | jnp.asarray(
+        cdfs3.astype(np.uint32)
+    )
+    for trial in range(5):
+        x = jnp.asarray(
+            rng.integers(RANS_L, 1 << 32, size=(C, NL), dtype=np.uint64).astype(
+                np.uint32
+            )
+        )
+        buckets = jnp.asarray(rng.integers(0, CONTEXT_AMOUNT, (C, NL)).astype(np.int32))
+        active = jnp.asarray(rng.random((C, NL)) < 0.8)
+        stream = jnp.asarray(
+            rng.integers(0, 1 << 16, size=256 + C * NL, dtype=np.uint64).astype(
+                np.uint16
+            )
+        )
+        gptr = jnp.int32(rng.integers(0, 200))
+        s1, x1, g1 = decode_step_stream(
+            x, gptr, buckets, active, stream, jnp.asarray(lut), fcd, jnp.asarray(bits3)
+        )
+        s2, x2, g2 = decode_step_merged(
+            x, gptr, buckets, active, stream, merged, jnp.asarray(bits3), LUT_BITS
+        )
+        sa, s2a = np.asarray(s1), np.asarray(s2)
+        act = np.asarray(active)
+        assert np.array_equal(sa[act], s2a[act]), trial
+        assert np.array_equal(np.asarray(x1), np.asarray(x2)), trial
+        assert int(g1) == int(g2), trial

@@ -43,3 +43,33 @@ def test_floor_log2():
     assert floor_log2(2) == 1
     assert floor_log2(3) == 1
     assert floor_log2(1024) == 10
+
+def test_f16_wire_round_matches_numpy():
+    """J.f16_wire_round must reproduce numpy's f32->f16->f32 (IEEE RNE)
+    bit-for-bit: format v8 wire params are f16 and encode-side residual
+    math must use exactly the wire values. XLA's own f16 convert is NOT
+    IEEE RNE on the target TPU (measured round 2), hence the integer-op
+    implementation under test."""
+    import jax.numpy as jnp
+
+    from frave_tpu.ops.jax_ops import f16_wire_round
+
+    rng = np.random.default_rng(7)
+    parts = [
+        rng.standard_normal(4096).astype(np.float32)
+        * rng.choice([1e-8, 1e-5, 1e-3, 1.0, 1e3, 6e4], 4096).astype(np.float32),
+        # exact f16 ties (mantissa ..._10000000000000 in f32)
+        np.asarray([1.0009765625, 1.0029296875, -1.0009765625], np.float32),
+        # subnormal-range values incl. 2^-24 grid ties
+        np.asarray([5.96e-8, 2.98e-8, -2.98e-8, 1e-7, 2 ** -25, 3 * 2 ** -26], np.float32),
+        # overflow / max-f16 / zero / negative zero / inf
+        np.asarray([65504.0, 65519.99, 65520.0, 1e9, -1e9, 0.0, -0.0, np.inf, -np.inf], np.float32),
+    ]
+    x = np.concatenate(parts)
+    got = np.asarray(f16_wire_round(jnp.asarray(x)))
+    want = x.astype(np.float16).astype(np.float32)
+    assert np.array_equal(
+        got.view(np.uint32), want.view(np.uint32)
+    ), np.nonzero(got.view(np.uint32) != want.view(np.uint32))
+    # NaN propagates as NaN
+    assert np.isnan(np.asarray(f16_wire_round(jnp.asarray([np.nan], jnp.float32)))).all()
