@@ -64,6 +64,7 @@ from ..fractal.schedule import default_num_lanes, get_lane_steps, get_schedule
 from ..ops import jax_ops as J
 from ..ops.rans_jax import (
     LUT_BITS,
+    SCAN_UNROLL,
     build_merged_decode_table,
     decode_step_merged,
     encode_scan,
@@ -459,6 +460,7 @@ class CodecProgram:
                 body,
                 (qpad0, states, gptr0),
                 (d_coef, d_active, d_nbr, d_lf, d_grp, d_fbkt),
+                unroll=min(SCAN_UNROLL, d_coef.shape[0]),
             )
             qcoef = qpad[:, :n_slots].astype(jnp.int32).reshape(C, T, N)
             coef = J.dequantize(qcoef, qdiv[None, None, :])
@@ -486,7 +488,7 @@ class CodecProgram:
         qdiv: jnp.ndarray,
         overrides=None,
     ):
-        """pixels_b: [B, C, HW] int32 -> (packed [B, hdr_words + kcp2] i32,
+        """pixels_b: [B, C, HW] uint8 (or int32) -> (packed [B, hdr_words + kcp2] i32,
         hist [B, C, CA, 1024] i32). `overrides` = (vp [C,3,6] or
         [C,num_fine,6], wp, use_w) pins externally-supplied predictor
         parameters (3-row legacy sets expand to the fine ids)."""
@@ -668,11 +670,13 @@ def _encode_dispatch(images: List[RasterImage], opts: EncoderOptions):
 
     qm = quantization_matrix(opts.quality)
     qdiv = jnp.asarray(_qdiv_array(qm, BASE_FRAC_DEPTH))
+    # Upload uint8 and cast on device: the tunnel charges ~20MB/s for
+    # host->device bytes, so int32 pixels quadruple the dominant upload
+    # cost of a batch (measured round 2: 64x256x256 gray enc_compute
+    # 694ms with int32 upload vs 223ms of pure device compute).
     pixels = jnp.asarray(
-        np.stack(
-            [im.data.reshape(-1, C).T.astype(np.int32) for im in images]
-        )
-    )  # [B, C, HW]
+        np.stack([im.data.reshape(-1, C).T for im in images])
+    )  # [B, C, HW] uint8
     packed, hist = prog.encode_exec(
         pixels, qdiv, opts.prediction_overrides(C)
     )

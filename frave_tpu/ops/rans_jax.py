@@ -27,6 +27,8 @@ decode product freq * (x >> bits) is bounded by the encoder's pre-state).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +38,15 @@ from ..entropy.tables import CONTEXT_AMOUNT
 RANS_L = 1 << 16
 WORD_BITS = 16
 LUT_BITS = 14  # == MAX_FREQ_BITS_CAP (frave_tpu/entropy/tables.py)
+
+# lax.scan unroll factor for both rANS scans. Measured round 2
+# (benchmarks/scan_unroll.py + encode_ablation.py on the live TPU):
+# unroll HURTS both scans (decode B=64: 196ms @1, 208 @4, 226 @8;
+# encode scan 164 @1, 176 @4) — the per-step cost is the batched-index
+# gathers themselves, not loop-trip overhead, so unrolling only grows
+# the program. Default stays 1; the knob remains for re-measurement on
+# other TPU generations.
+SCAN_UNROLL = int(os.environ.get("FRAVE_SCAN_UNROLL", "1"))
 
 
 def encode_scan(
@@ -112,7 +123,8 @@ def encode_scan(
         return x_next, (word, emit)
 
     final_x, (words, flags) = jax.lax.scan(
-        step, x0, (fr_g, cd_g, bi_g, valid_grid), reverse=True
+        step, x0, (fr_g, cd_g, bi_g, valid_grid), reverse=True,
+        unroll=min(SCAN_UNROLL, R),
     )
     return final_x, words, flags
 
@@ -126,8 +138,13 @@ def stream_compact(
     order by the static perm, then pack flagged words densely.
     Returns (stream [K*C] uint16 zero-padded tail, total int32)."""
     kc = perm.shape[0]
-    wflat = words.reshape(-1)[perm]
-    fflat = flags.reshape(-1)[perm]
+    # ONE perm gather on a packed (flag << 16) | word plane instead of
+    # two (batched-index gathers carry a fixed per-op cost on the target
+    # TPU regardless of size — see decode_step_merged)
+    packed = words.astype(jnp.int32) | (flags.astype(jnp.int32) << 16)
+    pflat = packed.reshape(-1)[perm]
+    wflat = (pflat & 0xFFFF).astype(jnp.uint16)
+    fflat = pflat >= (1 << 16)
     fi = fflat.astype(jnp.int32)
     pos = jnp.cumsum(fi) - 1
     idx = jnp.where(fflat, pos, kc)

@@ -520,9 +520,12 @@ class ShardedEncoder:
                 outs.append(im.data)
                 transforms[b] = tid
             batch = np.stack(outs)
+        # uint8 upload (cast to int32 on device after the leaf gather):
+        # host->device bytes through the tunnel are the dominant cost of
+        # a batch dispatch, and int32 pixels quadruple them
         pixels = jnp.asarray(
-            batch.reshape(B, -1, C).transpose(0, 2, 1).astype(np.int32)
-        )  # [B, C, HW]
+            batch.reshape(B, -1, C).transpose(0, 2, 1).astype(np.uint8)
+        )  # [B, C, HW] uint8
         symbols, buckets, hist, vparams, wparams = self._analyze(
             pixels, *self._consts, qdiv, *self._halo_consts
         )
@@ -739,10 +742,13 @@ class TPShardedDecoder:
                 )
                 return (qpad, x, gptr), None
 
+            from ..ops.rans_jax import SCAN_UNROLL
+
             (qpad, _, _), _ = jax.lax.scan(
                 body,
                 (qpad0, states_l, gptr0),
                 (d_coef, d_active, d_nbr_l, d_lf_l, d_grp_l, d_fbkt_l),
+                unroll=min(SCAN_UNROLL, d_coef.shape[0]),
             )
             qcoef = qpad[:, :n_slots].reshape(C, T, N)
             coef = J.dequantize(qcoef, qdiv[None, None, :])
