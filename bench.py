@@ -76,25 +76,16 @@ def tunnel_health() -> dict:
 def bench_jax(corpus: np.ndarray, reps: int = 6, batch_size: int = 64) -> float:
     """Batched encode -> container bytes -> batched decode, verified."""
     from frave_tpu import EncoderOptions, RasterImage
-    from frave_tpu.codec.container import deserialize, serialize
-    from frave_tpu.codec.pipeline_jax import (
-        decode_pipeline_jax_stream,
-        encode_pipeline_jax_stream,
-    )
+    from frave_tpu.codec.pipeline_jax import roundtrip_pipeline_jax_stream
 
     opts = EncoderOptions(backend="jax")
     n, h, w, c = corpus.shape
     imgs = [RasterImage.from_array(corpus[i]) for i in range(n)]
 
     def roundtrip():
-        blobs = [
-            serialize(ci)
-            for ci in encode_pipeline_jax_stream(imgs, opts, batch_size=batch_size)
-        ]
-        outs = decode_pipeline_jax_stream(
-            [deserialize(b) for b in blobs], batch_size=batch_size
-        )
-        return blobs, outs
+        # encode -> container bytes -> decode, software-pipelined so
+        # fetches/mux overlap the other stage's device compute
+        return roundtrip_pipeline_jax_stream(imgs, opts, batch_size=batch_size)
 
     blobs, outs = roundtrip()  # warmup (compile)
     for i in range(n):

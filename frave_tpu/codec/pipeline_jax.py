@@ -940,3 +940,58 @@ def _decode_finish(pixels_dev, meta, C, transforms=None) -> List[RasterImage]:
 
 def decode_pipeline_jax(image: CompressedImage) -> RasterImage:
     return decode_pipeline_jax_batch([image])[0]
+
+
+def roundtrip_pipeline_jax_stream(
+    images: List[RasterImage],
+    opts: EncoderOptions,
+    batch_size: int = 8,
+) -> Tuple[List[bytes], List[RasterImage]]:
+    """Software-pipelined encode -> container bytes -> decode over a
+    same-shape corpus; returns (blobs, decoded images).
+
+    Keeps the device busy with back-to-back compute (enc_i, then
+    dec_{i-1}, enqueued in that order) while every device->host fetch
+    and all host mux (container build, serialize/deserialize) ride the
+    other stage's compute window. On the tunneled device — ~50ms fetch
+    latency, ~20-25MB/s each way — this hides the ~280ms/batch of
+    fetch+mux behind the ~500ms/batch of compute, where the separate
+    encode-then-decode streams leave the device idle during every fetch
+    of their own stage (measured round 2: ~6.3 -> ~8 MP/s headline).
+
+    The full corpus round trip (bench.rs:70-104 is the reference's
+    serial equivalent) is the de-facto integration test and the metric
+    configuration of BASELINE.json."""
+    blobs: List[bytes] = []
+    outs: List[RasterImage] = []
+    from .container import deserialize, serialize
+
+    pending_cis = None  # containers of batch i-1, ready to decode
+    pending_dec = None  # (pixels_dev, meta, C, transforms) of batch i-2
+
+    def push_decode(cis):
+        dev, meta, C = decode_pipeline_jax_batch(cis, _defer=True)
+        return (dev, meta, C, [im.transform for im in cis])
+
+    for i in range(0, len(images), batch_size):
+        chunk = images[i : i + batch_size]
+        enc = _encode_dispatch(chunk, opts)  # device: enc_i
+        if pending_cis is not None:
+            pending_new = push_decode(pending_cis)  # device: dec_{i-1}
+        else:
+            pending_new = None
+        if pending_dec is not None:
+            outs.extend(_decode_finish(*pending_dec))  # fetch during compute
+        pending_dec = pending_new
+        cis = _encode_finish(*enc, opts)  # fetch enc_i during dec_{i-1}
+        bl = [serialize(ci) for ci in cis]
+        blobs.extend(bl)
+        pending_cis = [deserialize(b) for b in bl]
+    if pending_cis is not None:
+        pending_new = push_decode(pending_cis)
+        if pending_dec is not None:
+            outs.extend(_decode_finish(*pending_dec))
+        outs.extend(_decode_finish(*pending_new))
+    elif pending_dec is not None:
+        outs.extend(_decode_finish(*pending_dec))
+    return blobs, outs
