@@ -145,6 +145,13 @@ class CodecProgram:
 
         T, N = geo.num_tiles, geo.nodes_per_tile
         n_slots = T * N
+        # route lifting/quantization through the fused Pallas VMEM
+        # kernels on real TPU backends (exact arithmetic twins of the
+        # XLA path — differential-tested; FRAVE_PALLAS forces)
+        from ..ops.pallas_lifting import lifting_enabled
+
+        use_pallas = lifting_enabled()
+        self.use_pallas = use_pallas
         K = sched.num_symbols
         R = self.rows
         S = steps.num_steps
@@ -226,8 +233,24 @@ class CodecProgram:
             leaves = jnp.where(
                 leaf_mask[None], pixels[:, leaf_safe], 0
             ).astype(jnp.int32)  # [C, T, N]
-            coef = J.forward_lifting(leaves, leaf_mask[None], depth)
-            qcoef = J.quantize(coef, qdiv[None, None, :])
+            if use_pallas:
+                # fused VMEM tree walk (ops/pallas_lifting.py): one pass
+                # instead of ~2*depth strided HBM slices; [C, T, N] ->
+                # the kernel's [N, C*T] nodes-on-sublanes layout
+                from ..ops.pallas_lifting import forward_lift_quantize
+
+                nt = leaves.transpose(2, 0, 1).reshape(N, C * T)
+                mt = jnp.broadcast_to(
+                    leaf_mask.T[:, None, :], (N, C, T)
+                ).reshape(N, C * T)
+                qcoef = (
+                    forward_lift_quantize(nt, mt, qdiv, depth)
+                    .reshape(N, C, T)
+                    .transpose(1, 2, 0)
+                )
+            else:
+                coef = J.forward_lifting(leaves, leaf_mask[None], depth)
+                qcoef = J.quantize(coef, qdiv[None, None, :])
             # int16 coefficient plane: values are bounded (|coef| <= 511
             # for 8-bit input, preds clamp at +-255), and the [C, K, 6]
             # neighbour gather below is the big random-access read — int16
@@ -463,10 +486,26 @@ class CodecProgram:
                 unroll=min(SCAN_UNROLL, d_coef.shape[0]),
             )
             qcoef = qpad[:, :n_slots].astype(jnp.int32).reshape(C, T, N)
-            coef = J.dequantize(qcoef, qdiv[None, None, :])
-            leaves = J.inverse_lifting(
-                coef, depth, node_mask[None], leaf_inb[None]
-            )
+            if use_pallas:
+                from ..ops.pallas_lifting import dequantize_inverse_lift
+
+                qnt = qcoef.transpose(2, 0, 1).reshape(N, C * T)
+                nmt = jnp.broadcast_to(
+                    node_mask.T[:, None, :], (N, C, T)
+                ).reshape(N, C * T)
+                lmt = jnp.broadcast_to(
+                    leaf_inb.T[:, None, :], (N, C, T)
+                ).reshape(N, C * T)
+                leaves = (
+                    dequantize_inverse_lift(qnt, nmt, lmt, qdiv, depth)
+                    .reshape(N, C, T)
+                    .transpose(1, 2, 0)
+                )
+            else:
+                coef = J.dequantize(qcoef, qdiv[None, None, :])
+                leaves = J.inverse_lifting(
+                    coef, depth, node_mask[None], leaf_inb[None]
+                )
             out = jnp.zeros((C, HW + 1), dtype=jnp.int32)
             out = out.at[:, pix_safe].set(leaves.reshape(C, -1))
             return jnp.clip(out[:, :HW], 0, 255).astype(jnp.uint8)

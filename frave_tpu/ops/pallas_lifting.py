@@ -45,7 +45,10 @@ def _trunc_div(a, q):
 def _fwd_kernel(depth: int, leaves_ref, lmask_ref, qdiv_ref, out_ref):
     n = 1 << depth
     vals = leaves_ref[:]  # [n, LANES] int32, leaves pre-masked to 0
-    mask = lmask_ref[:] > 0  # [n, LANES] leaf in-bounds
+    # masks stay int32 across reshapes: Mosaic rejects 3D shape casts of
+    # i1 vectors ("infer-vector-layout: unsupported shape cast", measured
+    # on v5e) while i32 reshapes lower fine
+    mask = lmask_ref[:].astype(jnp.int32)  # [n, LANES] 0/1 leaf in-bounds
     qdiv = qdiv_ref[:]  # [n, 1] int32
     parts = [None] * (depth + 1)
     for level in range(depth - 1, -1, -1):
@@ -54,7 +57,7 @@ def _fwd_kernel(depth: int, leaves_ref, lmask_ref, qdiv_ref, out_ref):
         mp = mask.reshape(m // 2, 2, LANES)
         L, R = pairs[:, 0, :], pairs[:, 1, :]
         Lm, Rm = mp[:, 0, :], mp[:, 1, :]
-        both = Lm & Rm
+        both = (Lm & Rm) > 0
         c = jnp.where(both, L - R, 0)
         parts[level] = c  # haar indices [2^level, 2^(level+1))
         vals = jnp.where(both, R + _trunc_div2(c), L + R)
@@ -67,8 +70,10 @@ def _inv_kernel(depth: int, qcoef_ref, nmask_ref, lmask_ref, qdiv_ref, out_ref):
     n = 1 << depth
     q = qdiv_ref[:]  # [n, 1]
     c_all = qcoef_ref[:]  # [n, LANES]
-    nmask = nmask_ref[:] > 0  # node presence [n, LANES]
-    lmask = lmask_ref[:] > 0  # leaf in-bounds [n, LANES]
+    # int32 masks: Mosaic rejects 3D shape casts of i1 vectors (see
+    # _fwd_kernel)
+    nmask = nmask_ref[:].astype(jnp.int32)  # node presence [n, LANES]
+    lmask = lmask_ref[:].astype(jnp.int32)  # leaf in-bounds [n, LANES]
     # dequantize with midpoint bias (ops/jax_ops.dequantize)
     bias = jnp.sign(c_all) * ((q - 1) // 2)
     coef = c_all * q + bias
@@ -80,7 +85,7 @@ def _inv_kernel(depth: int, qcoef_ref, nmask_ref, lmask_ref, qdiv_ref, out_ref):
             mp = lmask.reshape(n // 2, 2, LANES)
         else:
             mp = nmask[2 * lo : 2 * hi, :].reshape(hi - lo, 2, LANES)
-        both = mp[:, 0, :] & mp[:, 1, :]
+        both = (mp[:, 0, :] & mp[:, 1, :]) > 0
         right = jnp.where(both, vals - _trunc_div2(c), vals)
         left = jnp.where(both, c + right, vals)
         vals = jnp.stack([left, right], axis=1).reshape(2 * (hi - lo), LANES)
@@ -164,3 +169,16 @@ def pallas_supported() -> bool:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
+
+
+def lifting_enabled() -> bool:
+    """Whether CodecProgram routes lifting/quantization through these
+    kernels. Default: on for real TPU backends, off on CPU (the XLA
+    path is the exact arithmetic twin either way — flipping the flag
+    never changes bits, only the lowering). FRAVE_PALLAS=0/1 forces."""
+    import os
+
+    env = os.environ.get("FRAVE_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    return pallas_supported()

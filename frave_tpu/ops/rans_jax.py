@@ -313,15 +313,29 @@ def decode_step_merged(
     nf = need.reshape(-1).astype(jnp.int32)
     pos = jnp.cumsum(nf) - 1  # channel-major, lane-minor ordering
     block = jax.lax.dynamic_slice(stream, (gptr,), (blk,))
-    block_bytes = jnp.stack(
-        [block & jnp.uint16(0xFF), block >> jnp.uint16(8)], axis=-1
-    ).astype(jnp.float32)  # [blk, 2] byte planes, each value <= 255
-    ohp = (
-        (pos[:, None] == jnp.arange(blk, dtype=jnp.int32))
-        & (nf[:, None] > 0)
-    ).astype(jnp.float32)  # [C*NL, blk]
-    wb = jnp.einsum("nb,bk->nk", ohp, block_bytes).astype(jnp.uint32)
-    w = (wb[..., 0] | (wb[..., 1] << jnp.uint32(8))).reshape(C, NL)
+    if blk <= 2048:
+        # one-hot MXU contraction: at small blk the [blk, blk] one-hot
+        # is tiny and beats the fixed overhead of a batched-index gather
+        # (measured round 2); u16 words travel as two exact-in-bf16 byte
+        # planes because vmapped einsums lower with bf16-truncated
+        # inputs on this TPU (see module docstring)
+        block_bytes = jnp.stack(
+            [block & jnp.uint16(0xFF), block >> jnp.uint16(8)], axis=-1
+        ).astype(jnp.float32)  # [blk, 2] byte planes, each value <= 255
+        ohp = (
+            (pos[:, None] == jnp.arange(blk, dtype=jnp.int32))
+            & (nf[:, None] > 0)
+        ).astype(jnp.float32)  # [C*NL, blk]
+        wb = jnp.einsum("nb,bk->nk", ohp, block_bytes).astype(jnp.uint32)
+        w = (wb[..., 0] | (wb[..., 1] << jnp.uint32(8))).reshape(C, NL)
+    else:
+        # the one-hot is O(blk^2) — 604MB/step at C*NL=12288 (2048 RGB,
+        # nl=4096), which made large-image decode einsum-bound (measured
+        # round 2: 3.7s per 2048x2048 RGB decode). A batched-index
+        # gather is ~20ns/lookup: linear in blk and far cheaper here.
+        w = block[jnp.clip(pos, 0, blk - 1)].reshape(C, NL).astype(
+            jnp.uint32
+        )
     x_new = jnp.where(need, (x_new << jnp.uint32(WORD_BITS)) | w, x_new)
     x_next = jnp.where(active, x_new, x)
     return sym, x_next, gptr + jnp.sum(nf)
