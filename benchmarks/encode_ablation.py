@@ -1,8 +1,10 @@
 """Ablate the fused encode: time progressively larger stage prefixes.
 
 Rebuilds encode_fused's stages outside the class so each prefix can be
-jitted and timed separately on the live backend. Shapes match the
-headline config (B=64, 256x256 gray).
+jitted and timed separately on the live backend. Defaults to the
+headline config (B=64, 256x256 gray); override with env vars ABL_B,
+ABL_H, ABL_W, ABL_C (e.g. ABL_B=1 ABL_H=2048 ABL_W=2048 ABL_C=3).
+Positional args select stages by prefix (e.g. `5 6 7`).
 """
 
 from __future__ import annotations
@@ -44,7 +46,10 @@ def main():
     from frave_tpu.entropy.tables_jax import finalize_contexts_device
     from frave_tpu.entropy.tables import ALPHABET_SIZE, CONTEXT_AMOUNT
 
-    B, h, w, C = 64, 256, 256, 1
+    B = int(os.environ.get("ABL_B", "64"))
+    h = int(os.environ.get("ABL_H", "256"))
+    w = int(os.environ.get("ABL_W", "256"))
+    C = int(os.environ.get("ABL_C", "1"))
     corpus = make_corpus(B, h, w, C, seed=42)
     sched = get_schedule(h, w, mode="parallel")
     nl = default_num_lanes(sched.num_symbols)

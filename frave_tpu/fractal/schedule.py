@@ -352,7 +352,12 @@ def default_num_lanes(num_symbols: int) -> int:
     per-lane counts, so lane count has no u16-width constraint."""
     if num_symbols <= 0:
         return 16
-    target = max(16, min(4096, num_symbols // 128))
+    # cap raised 4096 -> 16384 in round 2: decode wall-clock is dominated
+    # by a fixed per-wavefront-step cost on the target device, so a
+    # 2048x2048 RGB image at nl=4096 spent 3.8s in ~1070 decode steps;
+    # nl=16384 halves that twice (1.88s) for ~4% more wire bytes
+    # (per-lane state overhead stays ~2.5B/lane, = K//128 lanes max)
+    target = max(16, min(16384, num_symbols // 128))
     return 1 << (int(target).bit_length() - 1)
 
 

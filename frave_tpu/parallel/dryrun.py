@@ -19,6 +19,13 @@ def run_dryrun(n_devices: int) -> None:
             flags + f" --xla_force_host_platform_device_count={n_devices}"
         ).strip()
 
+    # The dryrun executes on a virtual CPU mesh even when the process
+    # already initialized a TPU backend (entry() + dryrun in one
+    # process), so jax.default_backend() cannot be trusted to pick the
+    # lifting lowering — force the XLA path (Pallas kernels only lower
+    # for real TPU devices).
+    os.environ.setdefault("FRAVE_PALLAS", "0")
+
     import jax
 
     # This container's sitecustomize may pin a 1-chip TPU platform before
