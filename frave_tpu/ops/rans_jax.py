@@ -69,16 +69,22 @@ def encode_scan(
     x0 = jnp.full(lanes_shape, RANS_L, dtype=jnp.uint32)
 
     # Encode knows every (bucket, symbol) up front, so ALL table lookups
-    # happen here as ONE bulk gather over the whole [R, ..., NL] grid —
-    # measured ~free — instead of per-step gathers inside the scan,
-    # which dominate scan wall-clock on TPU (~0.2ms per gather op per
-    # step; the abl2 experiment showed the scan's entire cost was its
-    # gathers). freq <= 2^14 packs into the high 16 bits, cdf (<= 2^14,
-    # never read at exactly 2^14 for coded symbols) into the low 16.
-    fcd = (freqs.astype(jnp.uint32) << jnp.uint32(16)) | cdfs.astype(
-        jnp.uint32
+    # happen here as ONE bulk gather over the whole [R, ..., NL] grid
+    # instead of per-step gathers inside the scan. Batched-index gathers
+    # cost ~20ns/lookup on the target TPU regardless of table size
+    # (measured round 2), so the three per-symbol table reads pack into
+    # ONE u32 word: cdf (< 2^14) in bits 0..13, scale_bits-8 (<= 6) in
+    # bits 14..16, freq-1 (< 2^14) in bits 17..30 — 31 bits total. The
+    # pack itself is one elementwise pass over the [..., CA, 1024]
+    # tables (~free next to a [..., K] gather).
+    bits_b = jnp.broadcast_to(
+        scale_bits.astype(jnp.uint32)[..., None], freqs.shape
     )
-    b = scale_bits.astype(jnp.uint32)
+    packed = (
+        ((freqs.astype(jnp.uint32) - jnp.uint32(1)) << jnp.uint32(17))
+        | ((bits_b - jnp.uint32(8)) << jnp.uint32(14))
+        | cdfs.astype(jnp.uint32)
+    )
 
     sym_f = jnp.clip(sym_grid, 0, 1023).astype(jnp.int32)
     bkt_f = jnp.clip(bkt_grid, 0, CONTEXT_AMOUNT - 1).astype(jnp.int32)
@@ -90,14 +96,9 @@ def encode_scan(
     def g1(tab, bk, sm):
         return tab[bk, sm]
 
-    def g0(tab, bk):
-        return tab[bk]
-
     for _ in range(len(lanes_shape) - 1):
         g1 = jax.vmap(g1)
-        g0 = jax.vmap(g0)
-    g_all = g1(fcd, bkt_c, sym_c)
-    bi_all = g0(b, bkt_c)
+    g_all = g1(packed, bkt_c, sym_c)
 
     def ungrid(a):
         return jnp.moveaxis(
@@ -105,9 +106,16 @@ def encode_scan(
         )
 
     valid = valid_grid
-    fr_g = jnp.where(valid, ungrid(g_all >> jnp.uint32(16)), jnp.uint32(1))
-    cd_g = jnp.where(valid, ungrid(g_all & jnp.uint32(0xFFFF)), jnp.uint32(0))
-    bi_g = jnp.where(valid, ungrid(bi_all), jnp.uint32(8))
+    g_grid = ungrid(g_all)
+    fr_g = jnp.where(
+        valid, (g_grid >> jnp.uint32(17)) + jnp.uint32(1), jnp.uint32(1)
+    )
+    cd_g = jnp.where(valid, g_grid & jnp.uint32(0x3FFF), jnp.uint32(0))
+    bi_g = jnp.where(
+        valid,
+        ((g_grid >> jnp.uint32(14)) & jnp.uint32(7)) + jnp.uint32(8),
+        jnp.uint32(8),
+    )
 
     def step(x, row):
         fr, cd, bi, valid = row
