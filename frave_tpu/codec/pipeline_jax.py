@@ -1000,37 +1000,58 @@ def roundtrip_pipeline_jax_stream(
 
     The full corpus round trip (bench.rs:70-104 is the reference's
     serial equivalent) is the de-facto integration test and the metric
-    configuration of BASELINE.json."""
-    blobs: List[bytes] = []
-    outs: List[RasterImage] = []
+    configuration of BASELINE.json.
+
+    Fetches run on worker threads: a device->host fetch through the
+    tunnel blocks the calling thread for latency + bytes/bandwidth, and
+    issuing it from the main thread serializes it with the next batch's
+    dispatch. Workers block inside np.asarray while the main thread
+    keeps enqueuing device compute (PJRT is thread-safe); the main
+    thread only ever blocks on an already-fetching future."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .container import deserialize, serialize
 
-    pending_cis = None  # containers of batch i-1, ready to decode
-    pending_dec = None  # (pixels_dev, meta, C, transforms) of batch i-2
+    blobs: List[bytes] = []
+    outs: List[RasterImage] = []
 
-    def push_decode(cis):
-        dev, meta, C = decode_pipeline_jax_batch(cis, _defer=True)
-        return (dev, meta, C, [im.transform for im in cis])
-
-    for i in range(0, len(images), batch_size):
-        chunk = images[i : i + batch_size]
-        enc = _encode_dispatch(chunk, opts)  # device: enc_i
-        if pending_cis is not None:
-            pending_new = push_decode(pending_cis)  # device: dec_{i-1}
-        else:
-            pending_new = None
-        if pending_dec is not None:
-            outs.extend(_decode_finish(*pending_dec))  # fetch during compute
-        pending_dec = pending_new
-        cis = _encode_finish(*enc, opts)  # fetch enc_i during dec_{i-1}
+    def enc_finish(enc):
+        cis = _encode_finish(*enc, opts)  # blocks worker on the fetch
         bl = [serialize(ci) for ci in cis]
-        blobs.extend(bl)
-        pending_cis = [deserialize(b) for b in bl]
-    if pending_cis is not None:
-        pending_new = push_decode(pending_cis)
-        if pending_dec is not None:
-            outs.extend(_decode_finish(*pending_dec))
-        outs.extend(_decode_finish(*pending_new))
-    elif pending_dec is not None:
-        outs.extend(_decode_finish(*pending_dec))
+        return bl, [deserialize(b) for b in bl]
+
+    enc_fut = None  # fetching containers of batch i-1
+    dec_fut = None  # fetching decoded pixels of batch i-2
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for i in range(0, len(images), batch_size):
+            chunk = images[i : i + batch_size]
+            enc = _encode_dispatch(chunk, opts)  # device: enc_i
+            if enc_fut is not None:
+                bl, cis = enc_fut.result()
+                blobs.extend(bl)
+                dev, meta, C = decode_pipeline_jax_batch(
+                    cis, _defer=True
+                )  # device: dec_{i-1}
+                new_dec = pool.submit(
+                    _decode_finish, dev, meta, C,
+                    [im.transform for im in cis],
+                )
+            else:
+                new_dec = None
+            if dec_fut is not None:
+                outs.extend(dec_fut.result())
+            dec_fut = new_dec
+            enc_fut = pool.submit(enc_finish, enc)
+        # drain: last encode -> last decode
+        if enc_fut is not None:
+            bl, cis = enc_fut.result()
+            blobs.extend(bl)
+            dev, meta, C = decode_pipeline_jax_batch(cis, _defer=True)
+            if dec_fut is not None:
+                outs.extend(dec_fut.result())
+            outs.extend(
+                _decode_finish(dev, meta, C, [im.transform for im in cis])
+            )
+        elif dec_fut is not None:
+            outs.extend(dec_fut.result())
     return blobs, outs
