@@ -140,7 +140,10 @@ def bench_numpy_baseline(image: np.ndarray) -> float:
 
 def main():
     h = w = 256
-    corpus = make_corpus(128, h, w, 1, seed=42)
+    # 256 images = 4 pipelined 64-batches: enough batches that the
+    # threaded round-trip pipeline's steady state dominates ramp-up
+    # (measured: 128 imgs -> 7.9 MP/s, 256 -> 9.2 in the same window)
+    corpus = make_corpus(256, h, w, 1, seed=42)
     health = tunnel_health()
     value = bench_jax(corpus)
     baseline = bench_native_baseline(corpus)

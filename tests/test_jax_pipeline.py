@@ -261,6 +261,24 @@ def test_stream_pipelined_roundtrip():
         np.testing.assert_array_equal(out.data, im.data)
 
 
+def test_roundtrip_pipelined_stream():
+    """Fully software-pipelined encode->bytes->decode with threaded
+    fetch workers (the bench round-trip path)."""
+    from frave_tpu.codec.container import deserialize
+    from frave_tpu.codec.pipeline_jax import roundtrip_pipeline_jax_stream
+
+    imgs = [_natural_image(32, 40, 1, seed=s) for s in range(10)]
+    for n, bs in ((10, 4), (3, 8), (1, 8)):
+        blobs, outs = roundtrip_pipeline_jax_stream(
+            imgs[:n], EncoderOptions(backend="jax"), batch_size=bs
+        )
+        assert len(blobs) == n and len(outs) == n
+        for im, out in zip(imgs[:n], outs):
+            np.testing.assert_array_equal(out.data, im.data)
+        # blobs are real containers (decodable independently)
+        assert deserialize(blobs[0]).metadata == imgs[0].metadata
+
+
 def test_channel_transform_stage():
     from frave_tpu.codec import channel_transform as ct
 
