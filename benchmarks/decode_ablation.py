@@ -44,8 +44,16 @@ def main():
         build_merged_decode_table,
     )
 
-    B = 64
-    corpus = make_corpus(B, 256, 256, 1, seed=42)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("variants", nargs="*", default=[])
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--channels", type=int, default=1)
+    ns = ap.parse_args()
+    B = ns.batch
+    corpus = make_corpus(B, ns.size, ns.size, ns.channels, seed=42)
     imgs = [RasterImage.from_array(corpus[i]) for i in range(B)]
     opts = EncoderOptions(backend="jax")
     prog, dev, qm, meta = P._encode_dispatch(imgs, opts)
@@ -54,7 +62,7 @@ def main():
     nl = prog.nl
     C = prog.channels
     n_slots = prog.n_slots
-    states, streams, bits_w, offpk, vp, wp, qdiv = assemble_wire_batch(cis, nl)
+    states, streams, bits_w, offpk, vp, wp, qdiv, _tids = assemble_wire_batch(cis, nl)
     lut_bits = pick_lut_bits(bits_w)
     (d_coef, d_active, d_nbr, d_lf, d_grp, d_fbkt, pix_safe, node_mask,
      leaf_inb) = prog._dec_args
@@ -112,22 +120,30 @@ def main():
                 if "stream" in skip:
                     w = jnp.zeros((C, nl), jnp.uint32)
                 else:
+                    # mirror production decode_step_merged: one-hot MXU
+                    # contraction for small word blocks, linear
+                    # batched-index gather for wide ones
                     blk = C * nl
                     block = jax.lax.dynamic_slice(stream_i, (gptr,), (blk,))
-                    block_bytes = jnp.stack(
-                        [block & jnp.uint16(0xFF), block >> jnp.uint16(8)],
-                        axis=-1,
-                    ).astype(jnp.float32)
-                    ohp = (
-                        (pos[:, None] == jnp.arange(blk, dtype=jnp.int32))
-                        & (nf[:, None] > 0)
-                    ).astype(jnp.float32)
-                    wb = jnp.einsum("nb,bk->nk", ohp, block_bytes).astype(
-                        jnp.uint32
-                    )
-                    w = (wb[..., 0] | (wb[..., 1] << jnp.uint32(8))).reshape(
-                        C, nl
-                    )
+                    if blk <= 2048:
+                        block_bytes = jnp.stack(
+                            [block & jnp.uint16(0xFF), block >> jnp.uint16(8)],
+                            axis=-1,
+                        ).astype(jnp.float32)
+                        ohp = (
+                            (pos[:, None] == jnp.arange(blk, dtype=jnp.int32))
+                            & (nf[:, None] > 0)
+                        ).astype(jnp.float32)
+                        wb = jnp.einsum("nb,bk->nk", ohp, block_bytes).astype(
+                            jnp.uint32
+                        )
+                        w = (
+                            wb[..., 0] | (wb[..., 1] << jnp.uint32(8))
+                        ).reshape(C, nl)
+                    else:
+                        w = block[jnp.clip(pos, 0, blk - 1)].reshape(
+                            C, nl
+                        ).astype(jnp.uint32)
                 x_new = jnp.where(need, (x_new << jnp.uint32(WORD_BITS)) | w, x_new)
                 x = jnp.where(act, x_new, x)
                 gptr = gptr + jnp.sum(nf)
@@ -160,7 +176,7 @@ def main():
         jnp.asarray(wp),
     )
     variants = ["full", "no_ctx", "no_merged", "no_stream", "no_scatter"]
-    want = sys.argv[1:] or variants
+    want = ns.variants or variants
     results = {}
     for v in variants:
         if v not in want:

@@ -49,7 +49,7 @@ def main():
             pix, m2, C = P.decode_pipeline_jax_batch(cis, _defer=True)
             jax.block_until_ready(pix)
             t3 = time.perf_counter()
-            outs = P._decode_finish(pix, m2, C, [im.transform for im in cis])
+            outs = P._decode_finish(pix, m2, C)
             t4 = time.perf_counter()
             return cis, outs, (t1 - t0, t2 - t1, t3 - t2, t4 - t3)
 

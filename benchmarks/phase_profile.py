@@ -46,9 +46,7 @@ def main():
         pixels_dev, meta2, C = P.decode_pipeline_jax_batch(cis2, _defer=True)
         jax.block_until_ready(pixels_dev)
         t4 = time.perf_counter()
-        outs = P._decode_finish(
-            pixels_dev, meta2, C, [im.transform for im in cis2]
-        )
+        outs = P._decode_finish(pixels_dev, meta2, C)
         t5 = time.perf_counter()
         if record is not None:
             record["enc_compute_ms"].append(1e3 * (t1 - t0))

@@ -60,7 +60,7 @@ def main():
         dec()
         dec_ms = min(dec_ms, 1e3 * (time.perf_counter() - t0))
 
-    outs = P._decode_finish(pix, m2, C, [im.transform for im in cis])
+    outs = P._decode_finish(pix, m2, C)
     for i in range(B):
         np.testing.assert_array_equal(outs[i].data, corpus[i])
 

@@ -118,11 +118,24 @@ _INVERSE = {
 }
 
 
+def _proxy_stride(h: int, w: int) -> int:
+    """Subsample stride for the selection proxy: images up to 512x512 use
+    every pixel (stride 1 — unchanged behavior), larger ones sample a
+    ~512x512 grid. The proxy only picks among 2-3 transforms whose cost
+    gap on real content is large (tens of percent), so decimated gradients
+    rank them identically while the host work stays O(512^2) instead of
+    O(h*w) — the full-image proxy was the single largest host cost of a
+    2048x2048 RGB encode (~1.7s, more than the device compute)."""
+    return max(1, int(round((h * w / 262144.0) ** 0.5)))
+
+
 def _proxy_cost(planes: np.ndarray) -> float:
     """Gradient-entropy proxy for coded size: sum of log2(1+|dx|)+
-    log2(1+|dy|) over all planes. Wrap artifacts show up as large
-    gradients, which is exactly what makes them expensive to code."""
-    a = planes.astype(np.int32)
+    log2(1+|dy|) over all planes (subsampled for large images, see
+    _proxy_stride). Wrap artifacts show up as large gradients, which is
+    exactly what makes them expensive to code."""
+    s = _proxy_stride(planes.shape[0], planes.shape[1])
+    a = planes[::s, ::s].astype(np.int32)
     dx = np.abs(np.diff(a, axis=1))
     dy = np.abs(np.diff(a, axis=0))
     return float(np.log2(1.0 + dx).sum() + np.log2(1.0 + dy).sum())
@@ -141,6 +154,27 @@ def select_transform(arr: np.ndarray, lossless: bool) -> int:
     return min(costs, key=costs.get)
 
 
+def choose_transform(
+    arr: np.ndarray, color_transform: str, lossless: bool
+) -> int:
+    """Resolve an EncoderOptions.color_transform policy name to a concrete
+    transform id for one RGB image WITHOUT applying it (the JAX pipeline
+    applies transforms on device; the host only decides). Shared by
+    forward() so every backend resolves policies identically — the id
+    travels in the container's transform byte and any decoder inverts it."""
+    if color_transform == "none":
+        return T_NONE
+    if color_transform == "auto":
+        return select_transform(arr, lossless)
+    if color_transform == "subtract-green":
+        return T_SUBGREEN if lossless else T_SUBGREEN_CLAMPED
+    if color_transform == "ycocg":
+        if not lossless:
+            raise ValueError("ycocg transform is lossless-only; use auto")
+        return T_YCOCG
+    raise ValueError(f"unknown color transform {color_transform!r}")
+
+
 def forward(
     image: RasterImage, color_transform: str, lossless: bool = True
 ) -> Tuple[RasterImage, int]:
@@ -151,16 +185,7 @@ def forward(
     meta = image.metadata
     if meta.colorspace != ColorSpace.RGB or color_transform == "none":
         return image, T_NONE
-    if color_transform == "auto":
-        tid = select_transform(image.data, lossless)
-    elif color_transform == "subtract-green":
-        tid = T_SUBGREEN if lossless else T_SUBGREEN_CLAMPED
-    elif color_transform == "ycocg":
-        if not lossless:
-            raise ValueError("ycocg transform is lossless-only; use auto")
-        tid = T_YCOCG
-    else:
-        raise ValueError(f"unknown color transform {color_transform!r}")
+    tid = choose_transform(image.data, color_transform, lossless)
     if tid == T_NONE:
         return image, T_NONE
     return (

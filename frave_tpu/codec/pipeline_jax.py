@@ -105,6 +105,54 @@ def _i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
+# ---- device channel transforms (exact integer twins of codec/
+# channel_transform.py, which keeps the host/numpy-backend versions and
+# the selection policy; channel_transform.rs:3-10 is the reference's
+# identity TODO). The id is a traced per-image scalar so one compiled
+# program serves any transform mix in a batch; all four candidates are a
+# handful of elementwise int ops over [3, HW] — computing every branch
+# and selecting is cheaper than any control flow on TPU.
+
+
+def _sgn8(x):
+    """Mod-256 value -> signed representative in [-128, 127] (int32)."""
+    return ((x + 128) & 255) - 128
+
+
+def _transform_device(planes: jnp.ndarray, tid: jnp.ndarray) -> jnp.ndarray:
+    """[3, HW] int32 raw RGB -> coding planes by transform id."""
+    r, g, b = planes[0], planes[1], planes[2]
+    sub = jnp.stack([(r - g) & 255, g, (b - g) & 255])
+    subc = jnp.stack(
+        [jnp.clip(r - g + 128, 0, 255), g, jnp.clip(b - g + 128, 0, 255)]
+    )
+    co = (r - b) & 255
+    t = (b + (_sgn8(co) >> 1)) & 255
+    cg = (g - t) & 255
+    y = (t + (_sgn8(cg) >> 1)) & 255
+    yco = jnp.stack([y, co, cg])
+    allt = jnp.stack([planes, sub, subc, yco])  # [4, 3, HW]
+    return jax.lax.dynamic_index_in_dim(allt, tid, 0, keepdims=False)
+
+
+def _inverse_transform_device(
+    planes: jnp.ndarray, tid: jnp.ndarray
+) -> jnp.ndarray:
+    """Inverse of _transform_device on [3, HW] int32 coding planes."""
+    a, g, c = planes[0], planes[1], planes[2]
+    add = jnp.stack([(a + g) & 255, g, (c + g) & 255])
+    addc = jnp.stack(
+        [jnp.clip(a + g - 128, 0, 255), g, jnp.clip(c + g - 128, 0, 255)]
+    )
+    t = (a - (_sgn8(c) >> 1)) & 255  # y, co, cg = a, g, c
+    gg = (c + t) & 255
+    b = (t - (_sgn8(g) >> 1)) & 255
+    r = (g + b) & 255
+    yco = jnp.stack([r, gg, b])
+    allt = jnp.stack([planes, add, addc, yco])
+    return jax.lax.dynamic_index_in_dim(allt, tid, 0, keepdims=False)
+
+
 # Packed-output layout (int32 words):
 #   per channel: vparams(6*num_fine) wparams(6*num_fine) bits(CA)
 #                off_bitmask(CA*32) states(NL)
@@ -224,14 +272,20 @@ class CodecProgram:
             put(pg >= 0),  # leaf in-bounds [T, N]
         )
 
-        # ------------- fused encode (single image [C, HW]) -------------
+        # ------------- fused encode (single image [HW, C]) -------------
         def encode_fused(
-            pixels, qdiv, vp_ovr, wp_ovr, use_ovr, use_wovr,
+            pixels, tid, qdiv, vp_ovr, wp_ovr, use_ovr, use_wovr,
             leaf_safe, leaf_mask, sc, snbr_safe, slf, sgrp,
             sfbkt, lap, perm
         ):
+            # [HW, C] (host-contiguous view, no host transpose) -> [C, HW]
+            # int32 coding planes; the channel transform applies ON DEVICE
+            # (the host only resolves the policy to an id)
+            planes = pixels.T.astype(jnp.int32)
+            if C == 3:
+                planes = _transform_device(planes, tid)
             leaves = jnp.where(
-                leaf_mask[None], pixels[:, leaf_safe], 0
+                leaf_mask[None], planes[:, leaf_safe], 0
             ).astype(jnp.int32)  # [C, T, N]
             if use_pallas:
                 # fused VMEM tree walk (ops/pallas_lifting.py): one pass
@@ -421,6 +475,7 @@ class CodecProgram:
             vparams,  # [C, F, 6] f32 (F = schedule num_fine)
             wparams,  # [C, F, 6] f32
             qdiv,  # [N] int32
+            tid,  # scalar int32 channel-transform id (container byte)
             lap,  # [CA, 7, 1024] u32
             d_coef,
             d_active,
@@ -464,7 +519,9 @@ class CodecProgram:
                 coef_safe, active, nbr_safe, lf, grp, fbkt = xs
                 vals = qpad[:, nbr_safe].astype(jnp.int32)  # [C, NL, 6]
                 buckets, preds = jax.vmap(
-                    lambda v, vp, wp: J.contexts(v, lf, grp, vp, wp)
+                    lambda v, vp, wp: J.contexts(
+                        v, lf, grp, vp, wp, onehot_params=True
+                    )
                 )(vals, vparams, wparams)
                 buckets = jnp.where(fbkt[None] >= 0, fbkt[None], buckets)
                 act = jnp.broadcast_to(active[None], (C, nl))
@@ -508,7 +565,14 @@ class CodecProgram:
                 )
             out = jnp.zeros((C, HW + 1), dtype=jnp.int32)
             out = out.at[:, pix_safe].set(leaves.reshape(C, -1))
-            return jnp.clip(out[:, :HW], 0, 255).astype(jnp.uint8)
+            planes = jnp.clip(out[:, :HW], 0, 255)
+            # inverse channel transform on device (container transform
+            # byte); output stays [C, HW] — the device->host fetch of a
+            # [HW, 3] minor-dim-3 layout measured ~25% slower than
+            # fetching [C, HW] and transposing on host
+            if C == 3:
+                planes = _inverse_transform_device(planes, tid)
+            return planes.astype(jnp.uint8)
 
         self._encode_fused = encode_fused
         self._decode_fused = decode_fused
@@ -526,12 +590,17 @@ class CodecProgram:
         pixels_b: jnp.ndarray,
         qdiv: jnp.ndarray,
         overrides=None,
+        tids=None,
     ):
-        """pixels_b: [B, C, HW] uint8 (or int32) -> (packed [B, hdr_words + kcp2] i32,
-        hist [B, C, CA, 1024] i32). `overrides` = (vp [C,3,6] or
-        [C,num_fine,6], wp, use_w) pins externally-supplied predictor
-        parameters (3-row legacy sets expand to the fine ids)."""
+        """pixels_b: [B, HW, C] uint8 (or int32, host-layout — transposed
+        on device) -> (packed [B, hdr_words + kcp2] i32, hist [B, C, CA,
+        1024] i32). `overrides` = (vp [C,3,6] or [C,num_fine,6], wp,
+        use_w) pins externally-supplied predictor parameters (3-row
+        legacy sets expand to the fine ids). `tids`: [B] int32 channel-
+        transform ids (applied on device); None = identity."""
         B = pixels_b.shape[0]
+        if tids is None:
+            tids = jnp.zeros((B,), jnp.int32)
         C = self.channels
         F = self.num_fine
         if overrides is None:
@@ -563,27 +632,31 @@ class CodecProgram:
             fn = jax.jit(
                 jax.vmap(
                     self._encode_fused,
-                    in_axes=(0,) + (None,) * n_static,
+                    in_axes=(0, 0) + (None,) * n_static,
                 )
             )
             self._enc_jit[B] = fn
         return fn(
-            pixels_b, qdiv, vp_ovr, wp_ovr, use_v, use_w,
+            pixels_b, tids, qdiv, vp_ovr, wp_ovr, use_v, use_w,
             *self._enc_args, self._perm,
         )
 
     def decode_exec(
-        self, states, stream, wire_bits, offpk, vp, wp, qdiv,
+        self, states, stream, wire_bits, offpk, vp, wp, qdiv, tids=None,
         lut_bits: int = LUT_BITS,
     ):
-        """Batched (axis 0) wire fields -> pixels [B, C, HW] uint8.
-        stream: [B, W] u16 global streams, zero-padded by >= C*nl words
-        past the longest stream (decode_step_merged's dynamic_slice
-        contract). qdiv is batched ([B, N]) so one batch may mix quality
-        levels / quantization matrices — each image dequantizes with its
-        own table. lut_bits sizes the merged decode table (static per
+        """Batched (axis 0) wire fields -> pixels [B, C, HW] uint8 (the
+        inverse channel transform is applied on device from `tids`, the
+        containers' transform bytes). stream: [B, W] u16
+        global streams, zero-padded by >= C*nl words past the longest
+        stream (decode_step_merged's dynamic_slice contract). qdiv is
+        batched ([B, N]) so one batch may mix quality levels /
+        quantization matrices — each image dequantizes with its own
+        table. lut_bits sizes the merged decode table (static per
         compiled program); every wire_bits value must be <= lut_bits."""
         B = states.shape[0]
+        if tids is None:
+            tids = jnp.zeros((B,), jnp.int32)
         W = stream.shape[-1]
         key = (B, W, lut_bits)
         fn = self._dec_jit.get(key)
@@ -592,12 +665,13 @@ class CodecProgram:
             fn = jax.jit(
                 jax.vmap(
                     lambda *a: dec(*a, lut_bits=lut_bits),
-                    in_axes=(0,) * 7 + (None,) * 10,
+                    in_axes=(0,) * 8 + (None,) * 10,
                 )
             )
             self._dec_jit[key] = fn
         return fn(
-            states, stream, wire_bits, offpk, vp, wp, qdiv, self._lap, *self._dec_args
+            states, stream, wire_bits, offpk, vp, wp, qdiv, tids,
+            self._lap, *self._dec_args,
         )
 
 
@@ -690,19 +764,26 @@ def _unpack_channels(
 def _encode_dispatch(images: List[RasterImage], opts: EncoderOptions):
     """Upload + launch the fused encode for one same-shape batch; returns
     (prog, device packed output, qm) without blocking on the result."""
-    from .channel_transform import forward as channel_forward
+    from ..images import ColorSpace
+    from .channel_transform import choose_transform
 
     lossless = opts.quality.name == "LOSSLESS"
-    pairs = [
-        channel_forward(im, opts.color_transform, lossless) for im in images
-    ]
-    images = [p[0] for p in pairs]
-    transforms = [p[1] for p in pairs]
     meta = images[0].metadata
     C = meta.num_channels
     for im in images:
         if im.metadata != meta:
             raise ValueError("batch images must share shape and colorspace")
+    # The host only RESOLVES the transform policy (strided gradient proxy
+    # for "auto"); the transform itself applies inside the fused device
+    # program — for a 2048x2048 RGB image the host-side apply + full-image
+    # proxy used to cost more than the device encode.
+    if meta.colorspace == ColorSpace.RGB:
+        transforms = [
+            choose_transform(im.data, opts.color_transform, lossless)
+            for im in images
+        ]
+    else:
+        transforms = [0] * len(images)
     sched = get_schedule(meta.height, meta.width, mode=opts.mode)
     nl = opts.num_lanes or default_num_lanes(sched.num_symbols)
     prog = get_program(meta.height, meta.width, BASE_FRAC_DEPTH, nl, C, opts.mode)
@@ -712,12 +793,19 @@ def _encode_dispatch(images: List[RasterImage], opts: EncoderOptions):
     # Upload uint8 and cast on device: the tunnel charges ~20MB/s for
     # host->device bytes, so int32 pixels quadruple the dominant upload
     # cost of a batch (measured round 2: 64x256x256 gray enc_compute
-    # 694ms with int32 upload vs 223ms of pure device compute).
-    pixels = jnp.asarray(
-        np.stack([im.data.reshape(-1, C).T for im in images])
-    )  # [B, C, HW] uint8
+    # 694ms with int32 upload vs 223ms of pure device compute). The
+    # [B, HW, C] layout keeps every image a zero-copy view of its raster
+    # (B == 1 uploads with no host copy at all); the device transposes.
+    if len(images) == 1:
+        px_host = images[0].data.reshape(1, -1, C)
+    else:
+        px_host = np.stack([im.data.reshape(-1, C) for im in images])
+    pixels = jnp.asarray(px_host)  # [B, HW, C] uint8
     packed, hist = prog.encode_exec(
-        pixels, qdiv, opts.prediction_overrides(C)
+        pixels,
+        qdiv,
+        opts.prediction_overrides(C),
+        tids=jnp.asarray(np.asarray(transforms, dtype=np.int32)),
     )
     return prog, (packed, hist), qm, (meta, transforms)
 
@@ -845,7 +933,7 @@ def encode_pipeline_jax(image: RasterImage, opts: EncoderOptions) -> CompressedI
 def assemble_wire_batch(images: List[CompressedImage], nl: int):
     """Stack a same-shape batch's container fields into the batched wire
     arrays decode_exec consumes: (states, streams, bits, offpk, vparams,
-    wparams, qdiv) as numpy arrays (streams zero-padded to a shared
+    wparams, qdiv, tids) as numpy arrays (streams zero-padded to a shared
     power-of-two width). Shared by the single-chip batch decode and the
     SPMD ShardedDecoder."""
     meta = images[0].metadata
@@ -903,7 +991,8 @@ def assemble_wire_batch(images: List[CompressedImage], nl: int):
             for im in images
         ]
     )
-    return states, streams, bits, offpk, vparams, wparams, qdiv
+    tids = np.asarray([im.transform for im in images], dtype=np.int32)
+    return states, streams, bits, offpk, vparams, wparams, qdiv, tids
 
 
 def decode_pipeline_jax_batch(
@@ -920,10 +1009,9 @@ def decode_pipeline_jax_batch(
             raise ValueError("batch must share shape, colorspace, lanes and mode")
     prog = get_program(meta.height, meta.width, BASE_FRAC_DEPTH, nl, C, mode)
 
-    states, streams, bits, offpk, vparams, wparams, qdiv = assemble_wire_batch(
-        images, nl
-    )
-    qdiv = jnp.asarray(qdiv)
+    (
+        states, streams, bits, offpk, vparams, wparams, qdiv, tids
+    ) = assemble_wire_batch(images, nl)
 
     lut_bits = pick_lut_bits(bits)
     pixels_dev = prog.decode_exec(
@@ -933,14 +1021,13 @@ def decode_pipeline_jax_batch(
         jnp.asarray(offpk),
         jnp.asarray(vparams),
         jnp.asarray(wparams),
-        qdiv,
+        jnp.asarray(qdiv),
+        jnp.asarray(tids),
         lut_bits,
     )  # async launch; np.asarray below is the ONE fetch
     if _defer:
         return pixels_dev, meta, C
-    return _decode_finish(
-        pixels_dev, meta, C, [im.transform for im in images]
-    )
+    return _decode_finish(pixels_dev, meta, C)
 
 
 def decode_pipeline_jax_stream(
@@ -949,29 +1036,26 @@ def decode_pipeline_jax_stream(
     """Host/device-pipelined decode (double buffering, see
     encode_pipeline_jax_stream)."""
     out: List[RasterImage] = []
-    pending = None  # (pixels_dev, meta, C, transforms)
+    pending = None  # (pixels_dev, meta, C)
     for i in range(0, len(images), batch_size):
         chunk = images[i : i + batch_size]
         dev, meta, C = decode_pipeline_jax_batch(chunk, _defer=True)
         if pending is not None:
             out.extend(_decode_finish(*pending))
-        pending = (dev, meta, C, [im.transform for im in chunk])
+        pending = (dev, meta, C)
     if pending is not None:
         out.extend(_decode_finish(*pending))
     return out
 
 
-def _decode_finish(pixels_dev, meta, C, transforms=None) -> List[RasterImage]:
-    from .channel_transform import inverse as channel_inverse
-
+def _decode_finish(pixels_dev, meta, C) -> List[RasterImage]:
+    """Fetch [B, C, HW] device pixels (already inverse-channel-transformed
+    on device) and wrap them as RasterImages — transpose-only on host."""
     pixels = np.asarray(pixels_dev)
     return [
-        channel_inverse(
-            RasterImage(
-                metadata=meta,
-                data=pixels[b].T.reshape(meta.height, meta.width, C),
-            ),
-            0 if transforms is None else transforms[b],
+        RasterImage(
+            metadata=meta,
+            data=pixels[b].T.reshape(meta.height, meta.width, C),
         )
         for b in range(pixels.shape[0])
     ]
@@ -1032,10 +1116,7 @@ def roundtrip_pipeline_jax_stream(
                 dev, meta, C = decode_pipeline_jax_batch(
                     cis, _defer=True
                 )  # device: dec_{i-1}
-                new_dec = pool.submit(
-                    _decode_finish, dev, meta, C,
-                    [im.transform for im in cis],
-                )
+                new_dec = pool.submit(_decode_finish, dev, meta, C)
             else:
                 new_dec = None
             if dec_fut is not None:
@@ -1049,9 +1130,7 @@ def roundtrip_pipeline_jax_stream(
             dev, meta, C = decode_pipeline_jax_batch(cis, _defer=True)
             if dec_fut is not None:
                 outs.extend(dec_fut.result())
-            outs.extend(
-                _decode_finish(dev, meta, C, [im.transform for im in cis])
-            )
+            outs.extend(_decode_finish(dev, meta, C))
         elif dec_fut is not None:
             outs.extend(dec_fut.result())
     return blobs, outs

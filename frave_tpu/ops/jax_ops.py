@@ -194,10 +194,21 @@ def contexts(
     group: jnp.ndarray,  # [...] int32 parameter group 0/1/2
     vparams: jnp.ndarray,  # [3, 6] f32 (vmap over channels at call sites)
     wparams: jnp.ndarray,  # [3, 6] f32
+    onehot_params: bool = False,
 ):
     """Context bucket + prediction per symbol — the exact f32 op sequence of
     contexts_np (frave_tpu/ops/prediction.py, reference prediction.rs:86-207).
-    Returns (bucket [...] int32, pred [...] int32 clamped to +-255)."""
+    Returns (bucket [...] int32, pred [...] int32 clamped to +-255).
+
+    onehot_params selects the per-symbol predictor rows with a one-hot
+    einsum instead of a batched-index gather: inside the decode scan a
+    batched gather costs ~400us/step on this TPU regardless of table size
+    (measured round 2: the two param gathers were ~25% of the whole
+    2048x2048 decode-step cost), while the [*, num_fine] one-hot
+    contraction is pure vector ALU. Exactness: exactly one term of the
+    contraction is nonzero and Precision.HIGHEST keeps the MXU path f32 —
+    bf16-truncated default lowering would corrupt f16 wire params. Encode
+    paths keep the gather: ONE bulk gather over all K symbols is cheap."""
     v = vals.astype(jnp.int32)
     v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
 
@@ -208,8 +219,17 @@ def contexts(
     lf_bucket = assign_bucket_f32(jnp.abs(v0 - v2).astype(jnp.float32))
 
     # HF: learned width on 5 gradient features + bias; learned 6-tap value
-    vp = vparams[group.astype(jnp.int32)]  # [..., 6]
-    wp = wparams[group.astype(jnp.int32)]
+    gi = group.astype(jnp.int32)
+    if onehot_params:
+        oh = (
+            gi[..., None] == jnp.arange(vparams.shape[0], dtype=jnp.int32)
+        ).astype(jnp.float32)  # [..., F]
+        _HI = jax.lax.Precision.HIGHEST
+        vp = jnp.einsum("...f,fx->...x", oh, vparams, precision=_HI)
+        wp = jnp.einsum("...f,fx->...x", oh, wparams, precision=_HI)
+    else:
+        vp = vparams[gi]  # [..., 6]
+        wp = wparams[gi]
     vf = vals.astype(jnp.float32)
     g1 = jnp.abs(vf[..., 0] - vf[..., 3])
     g2 = jnp.abs(vf[..., 1] - vf[..., 2])

@@ -638,6 +638,7 @@ class TPShardedDecoder:
             vparams,
             wparams,
             qdiv,
+            tid,  # scalar int32 channel-transform id (replicated)
             lap,
             d_coef,  # [S, NL] (replicated; scatter wants all lanes)
             d_active,
@@ -683,7 +684,9 @@ class TPShardedDecoder:
                 # local context computation for this shard's lanes
                 vals = qpad[:, nbr_l]  # [C, NLl, 6]
                 buckets, preds = jax.vmap(
-                    lambda v, vp, wp: J.contexts(v, lf_l, grp_l, vp, wp)
+                    lambda v, vp, wp: J.contexts(
+                        v, lf_l, grp_l, vp, wp, onehot_params=True
+                    )
                 )(vals, vparams, wparams)
                 buckets = jnp.where(fbkt_l[None] >= 0, fbkt_l[None], buckets)
                 act_l = jax.lax.dynamic_slice(
@@ -757,7 +760,12 @@ class TPShardedDecoder:
             )
             out = jnp.zeros((C, HW + 1), dtype=jnp.int32)
             out = out.at[:, pix_safe].set(leaves.reshape(C, -1))
-            return jnp.clip(out[:, :HW], 0, 255).astype(jnp.uint8)
+            planes = jnp.clip(out[:, :HW], 0, 255)
+            if C == 3:
+                from ..codec.pipeline_jax import _inverse_transform_device
+
+                planes = _inverse_transform_device(planes, tid)
+            return planes.astype(jnp.uint8)  # [C, HW]
 
         lane_spec = P(None, axes)  # [C, NL] -> lane axis sharded
         in_specs = (
@@ -768,6 +776,7 @@ class TPShardedDecoder:
             P(),  # vparams
             P(),  # wparams
             P(),  # qdiv
+            P(),  # tid
             P(),  # lap
             P(),  # d_coef (replicated: scatter needs all lanes)
             P(),  # d_active
@@ -800,7 +809,7 @@ class TPShardedDecoder:
             raise ValueError("decoder built for a different image shape")
         wire = assemble_wire_batch([im], im.num_lanes)
         prog, fn = self._program(im.num_lanes, im.mode, wire[1].shape[-1])
-        states, streams, bits, offpk, vparams, wparams, qdiv = wire
+        states, streams, bits, offpk, vparams, wparams, qdiv, tids = wire
         pixels = fn(
             jnp.asarray(states[0]),
             jnp.asarray(streams[0]),
@@ -809,13 +818,12 @@ class TPShardedDecoder:
             jnp.asarray(vparams[0]),
             jnp.asarray(wparams[0]),
             jnp.asarray(qdiv[0]),
+            jnp.asarray(tids[0]),
             prog._lap,
             *prog._dec_args[:6],
             *prog._dec_args[6:],
         )
-        return _decode_finish(
-            pixels[None], meta, self.channels, [im.transform]
-        )[0]
+        return _decode_finish(pixels[None], meta, self.channels)[0]
 
 
 @dataclasses.dataclass
@@ -851,10 +859,10 @@ class ShardedDecoder:
                 _shard_map(
                     jax.vmap(
                         lambda *a: dec(*a, lut_bits=lut_bits),
-                        in_axes=(0,) * 7 + (None,) * 10,
+                        in_axes=(0,) * 8 + (None,) * 10,
                     ),
                     mesh=self.mesh,
-                    in_specs=(P(axes),) * 7 + (P(),) * 10,
+                    in_specs=(P(axes),) * 8 + (P(),) * 10,
                     out_specs=P(axes),
                     check_vma=False,
                 ),
@@ -898,7 +906,5 @@ class ShardedDecoder:
             prog._lap,
             *prog._dec_args,
         )
-        out = _decode_finish(
-            pixels_dev, meta, self.channels, [im.transform for im in padded]
-        )
+        out = _decode_finish(pixels_dev, meta, self.channels)
         return out[:B0]
