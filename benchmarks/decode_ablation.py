@@ -10,6 +10,17 @@ cost can be attributed:
   no_scatter  qpad coefficient scatter removed
 
 Run: python benchmarks/decode_ablation.py [variant ...]
+
+CAVEAT (round 2 finding): knockouts that stop writing or reading the
+coefficient-plane carry (no_scatter, no_ctx) also break the scan's
+loop-carried dependency, so XLA can overlap steps that production must
+serialize. Their deltas measure the cost of the dependency chain, NOT
+the knocked-out op alone: an int32+unique_indices scatter rewrite that
+the isolated microbenchmark said was 25x faster changed end-to-end
+decode by ~0 (A/B on real TPU: 9.2->8.6 MP/s headline, 1.30->1.27 MP/s
+at 2048 RGB, i.e. slightly WORSE). The wavefront scan is bound by the
+per-step critical path gather->contexts->rANS->scatter, not by any op's
+throughput in isolation.
 """
 
 from __future__ import annotations
@@ -51,11 +62,12 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--channels", type=int, default=1)
+    ap.add_argument("--lanes", type=int, default=None)
     ns = ap.parse_args()
     B = ns.batch
     corpus = make_corpus(B, ns.size, ns.size, ns.channels, seed=42)
     imgs = [RasterImage.from_array(corpus[i]) for i in range(B)]
-    opts = EncoderOptions(backend="jax")
+    opts = EncoderOptions(backend="jax", num_lanes=ns.lanes)
     prog, dev, qm, meta = P._encode_dispatch(imgs, opts)
     cis = P._encode_finish(prog, dev, qm, meta, opts)
 
@@ -90,7 +102,9 @@ def main():
                 else:
                     vals = qpad[:, nbr_safe].astype(jnp.int32)
                     buckets, preds = jax.vmap(
-                        lambda v, vpp, wpp: J.contexts(v, lf, grp, vpp, wpp)
+                        lambda v, vpp, wpp: J.contexts(
+                            v, lf, grp, vpp, wpp, onehot_params=True
+                        )
                     )(vals, vp_i, wp_i)
                     buckets = jnp.where(fbkt[None] >= 0, fbkt[None], buckets)
                 act = jnp.broadcast_to(active[None], (C, nl))

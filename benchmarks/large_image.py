@@ -40,6 +40,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="*", default=[1024, 2048])
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--lanes", type=int, default=None)
     args = ap.parse_args()
 
     from frave_tpu import EncoderOptions, RasterImage
@@ -49,7 +50,7 @@ def main() -> int:
         encode_pipeline_jax_batch,
     )
 
-    opts = EncoderOptions(backend="jax")
+    opts = EncoderOptions(backend="jax", num_lanes=args.lanes)
     for s in args.sizes:
         img = make_image(s, s)
         ri = RasterImage.from_array(img)
