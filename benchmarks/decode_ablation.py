@@ -74,21 +74,23 @@ def main():
     nl = prog.nl
     C = prog.channels
     n_slots = prog.n_slots
-    states, streams, bits_w, offpk, vp, wp, qdiv, _tids = assemble_wire_batch(cis, nl)
+    (states, streams, bits_w, offpk, scw, vp, wp, qdiv,
+     _tids) = assemble_wire_batch(cis, nl)
     lut_bits = pick_lut_bits(bits_w)
     (d_coef, d_active, d_nbr, d_lf, d_grp, d_fbkt, pix_safe, node_mask,
      leaf_inb) = prog._dec_args
     lap = prog._lap
 
     def body_factory(skip):
-        def decode_one(states_i, stream_i, bits_i, offpk_i, vp_i, wp_i):
+        def decode_one(states_i, stream_i, bits_i, offpk_i, sc_i, vp_i, wp_i):
             shifts32 = jnp.arange(32, dtype=jnp.uint32)
             off_mask = (
                 ((offpk_i[..., None] >> shifts32) & jnp.uint32(1)) > 0
             ).reshape(C, CONTEXT_AMOUNT, ALPHABET_SIZE)
             zero_hist = jnp.zeros((C, CONTEXT_AMOUNT, ALPHABET_SIZE), jnp.int32)
             tb, freqs_i, cdfs_i, _ = finalize_contexts_device(
-                zero_hist, lap, bits0=bits_i, off_mask_in=off_mask
+                zero_hist, lap, bits0=bits_i, off_mask_in=off_mask,
+                scale_idx=sc_i,
             )
             merged = build_merged_decode_table(freqs_i, cdfs_i, tb, lut_bits)
             qpad0 = jnp.zeros((C, n_slots + 1), dtype=jnp.int16)
@@ -186,6 +188,7 @@ def main():
         jnp.asarray(streams),
         jnp.asarray(bits_w),
         jnp.asarray(offpk),
+        jnp.asarray(scw),
         jnp.asarray(vp),
         jnp.asarray(wp),
     )

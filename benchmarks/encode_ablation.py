@@ -59,7 +59,8 @@ def main():
     R = prog.rows
     n_slots = prog.n_slots
 
-    (leaf_safe, leaf_mask, sc, snbr_safe, slf, sgrp, sfbkt, lap) = prog._enc_args
+    (leaf_safe, leaf_mask, sc, snbr_safe, slf, sgrp, sfbkt, lap, glog2,
+     gzero) = prog._enc_args
     perm = prog._perm
     group_ranges = prog._group_ranges
 
@@ -147,7 +148,12 @@ def main():
             .add(1)
             .reshape(C, CONTEXT_AMOUNT, ALPHABET_SIZE)
         )
-        bits, freqs, cdfs, off_mask = finalize_contexts_device(hist, lap)
+        from frave_tpu.entropy.tables_jax import select_scales_device
+
+        scales = select_scales_device(hist, glog2, gzero)
+        bits, freqs, cdfs, off_mask = finalize_contexts_device(
+            hist, lap, scale_idx=scales
+        )
         return buckets, symbols, bits, freqs, cdfs
 
     def stage_scan(pixels, qdiv):

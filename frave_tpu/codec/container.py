@@ -30,7 +30,12 @@ from ..images import (
     ImageMetadata,
     AnsContextTables,
 )
-from ..entropy.tables import ALPHABET_SIZE, CONTEXT_AMOUNT, context_from_wire
+from ..entropy.tables import (
+    ALPHABET_SIZE,
+    CONTEXT_AMOUNT,
+    NUM_SCALES,
+    context_from_wire,
+)
 
 MAGIC = b"frif"
 # v7: explicit per-image channel-transform byte
@@ -39,7 +44,11 @@ MAGIC = b"frif"
 #     schedule segment, schedule.WavefrontSchedule.sched_group), replacing
 #     v7's fixed [3, 6] f32 coarse groups. v7 containers still decode:
 #     their 3 rows are expanded via schedule.legacy_of_fine.
-VERSION = 8
+# v9: each EHD carries a Laplace-grid scale byte after max_freq_bits —
+#     the per-image scale the encoder selected for that context
+#     (entropy/tables.py GRID_WIDTHS; rows 0..CONTEXT_AMOUNT-1 are the
+#     legacy per-bucket scales, which is what v7/v8 decode falls back to).
+VERSION = 9
 _MIN_VERSION = 7
 _MAX_TRANSFORM = 3  # codec/channel_transform.py T_* ids
 _MODES = ("parallel", "parity")  # wire encodings 0, 1
@@ -83,9 +92,11 @@ def serialize(image: CompressedImage) -> bytes:
         out += struct.pack("<B", vp.shape[0])
         out += vp.tobytes() + wp.tobytes()
 
-        for ctx in cd.ans_contexts:
+        for bucket, ctx in enumerate(cd.ans_contexts):
             out += struct.pack("<H", MARKER_EHD)
             out += struct.pack("<B", ctx.max_freq_bits)
+            scale = int(getattr(ctx, "scale_idx", -1))
+            out += struct.pack("<B", bucket if scale < 0 else scale)
             off = np.asarray(ctx.off_distribution_values, dtype="<u2")
             out += struct.pack("<I", off.shape[0])
             out += off.tobytes()
@@ -146,7 +157,8 @@ def ensure_tables(contexts) -> None:
             tab = context_from_wire(
                 bucket, int(ctx.max_freq_bits), np.asarray(
                     ctx.off_distribution_values, dtype=np.int64
-                ).tolist()
+                ).tolist(),
+                scale_idx=int(getattr(ctx, "scale_idx", -1)),
             )
             ctx.freqs = tab.freqs
             ctx.cdf = tab.cdf
@@ -216,6 +228,14 @@ def deserialize(data: bytes) -> CompressedImage:
             if r.u16() != MARKER_EHD:
                 raise SerializeError("expected EHD segment")
             bits = r.u8()
+            if version >= 9:
+                scale = r.u8()
+                if scale >= NUM_SCALES:
+                    raise SerializeError(
+                        f"Laplace scale index {scale} outside the grid"
+                    )
+            else:
+                scale = bucket  # legacy per-bucket row
             off_len = r.u32()
             off = np.frombuffer(r.take(2 * off_len), dtype="<u2")
             if off.size and int(off.max()) >= ALPHABET_SIZE:
@@ -231,6 +251,7 @@ def deserialize(data: bytes) -> CompressedImage:
                     off_distribution_values=off.copy(),
                     freqs=None,
                     cdf=None,
+                    scale_idx=scale,
                 )
             )
 

@@ -56,9 +56,10 @@ from ..entropy.tables import (
     ALPHABET_SIZE,
     CONTEXT_AMOUNT,
     ENC_FREQ_BITS_CAP,
-    _LAPLACE_ROWS,
+    _GRID_LOG2,
+    _LAPLACE_GRID_ROWS,
 )
-from ..entropy.tables_jax import finalize_contexts_device
+from ..entropy.tables_jax import finalize_contexts_device, select_scales_device
 from ..fractal.geometry import BASE_FRAC_DEPTH, get_geometry
 from ..fractal.schedule import default_num_lanes, get_lane_steps, get_schedule
 from ..ops import jax_ops as J
@@ -160,7 +161,8 @@ def _inverse_transform_device(
 # The fetch is split: the fixed-size header part first (tiny), then a
 # host-sliced prefix of the stream sized by the fetched totals — padding
 # bytes never cross the device link.
-_HDR_TABLES = CONTEXT_AMOUNT + CONTEXT_AMOUNT * (ALPHABET_SIZE // 32)
+# bits [CA] + off bitmask [CA, 32] + Laplace-grid scale indices [CA] (v9)
+_HDR_TABLES = CONTEXT_AMOUNT + CONTEXT_AMOUNT * (ALPHABET_SIZE // 32) + CONTEXT_AMOUNT
 
 
 @dataclasses.dataclass
@@ -227,9 +229,15 @@ class CodecProgram:
             put(sched.sched_lf.astype(bool)),  # slf
             put(sched.sched_group.astype(np.int32)),  # sgrp
             put(sched.sched_fbkt.astype(np.int32)),  # sfbkt (-1 = computed)
-            put(_LAPLACE_ROWS.astype(np.uint32)),  # lap rows [CONTEXT_AMOUNT, 7, 1024]
+            # full Laplace grid (v9): rows 0..CA-1 are the legacy
+            # per-bucket rows, so legacy wires select row == bucket
+            put(_LAPLACE_GRID_ROWS.astype(np.uint32)),  # [NUM_SCALES, 7, 1024]
+            put(_GRID_LOG2),  # [NUM_SCALES, 7, 1024] f32 (scale selection)
+            put(
+                (_LAPLACE_GRID_ROWS == 0).astype(np.float32)
+            ),  # zero-mask rows (off-list wire-cost term of the selection)
         )
-        self._lap = self._enc_args[-1]
+        self._lap = self._enc_args[-3]
         # static per-group HF k-ranges: the schedule orders symbols by
         # phase/level, so each predictor group occupies one contiguous
         # range — the Gram matrices reduce over static slices (MXU dots)
@@ -276,7 +284,7 @@ class CodecProgram:
         def encode_fused(
             pixels, tid, qdiv, vp_ovr, wp_ovr, use_ovr, use_wovr,
             leaf_safe, leaf_mask, sc, snbr_safe, slf, sgrp,
-            sfbkt, lap, perm
+            sfbkt, lap, glog2, gzero, perm
         ):
             # [HW, C] (host-contiguous view, no host transpose) -> [C, HW]
             # int32 coding planes; the channel transform applies ON DEVICE
@@ -407,8 +415,12 @@ class CodecProgram:
                 .reshape(C, CONTEXT_AMOUNT, ALPHABET_SIZE)
             )
 
-            # --- context tables on device (exact host twin)
-            bits, freqs, cdfs, off_mask = finalize_contexts_device(hist, lap)
+            # --- context tables on device (exact host twin); v9 first
+            # picks the best-fitting Laplace grid scale per context
+            scales = select_scales_device(hist, glog2, gzero)
+            bits, freqs, cdfs, off_mask = finalize_contexts_device(
+                hist, lap, scale_idx=scales
+            )
 
             # --- rANS encode over [R, C, NL] grids
             pad = R * nl - K
@@ -454,6 +466,7 @@ class CodecProgram:
                     _i32(wparams).reshape(C, -1),
                     bits.astype(jnp.int32),
                     _i32(ompk).reshape(C, -1),
+                    scales.astype(jnp.int32),
                     _i32(states),
                 ],
                 axis=1,
@@ -472,11 +485,12 @@ class CodecProgram:
             stream,  # [W] uint16 global word stream
             wire_bits,  # [C, CA] int32
             offpk,  # [C, CA, 32] uint32 off-list bitmask
+            scpk,  # [C, CA] int32 Laplace-grid scale indices (v9 wire)
             vparams,  # [C, F, 6] f32 (F = schedule num_fine)
             wparams,  # [C, F, 6] f32
             qdiv,  # [N] int32
             tid,  # scalar int32 channel-transform id (container byte)
-            lap,  # [CA, 7, 1024] u32
+            lap,  # [NUM_SCALES, 7, 1024] u32 Laplace grid
             d_coef,
             d_active,
             d_nbr,
@@ -498,7 +512,8 @@ class CodecProgram:
                 (C, CONTEXT_AMOUNT, ALPHABET_SIZE), jnp.int32
             )
             bits, freqs_i, cdfs_i, _ = finalize_contexts_device(
-                zero_hist, lap, bits0=wire_bits, off_mask_in=off_mask
+                zero_hist, lap, bits0=wire_bits, off_mask_in=off_mask,
+                scale_idx=scpk,
             )
             # --- ONE merged (sym, freq, cdf) decode table, built with
             # prefix ops only; lut_bits is static per program — the host
@@ -642,8 +657,8 @@ class CodecProgram:
         )
 
     def decode_exec(
-        self, states, stream, wire_bits, offpk, vp, wp, qdiv, tids=None,
-        lut_bits: int = LUT_BITS,
+        self, states, stream, wire_bits, offpk, scales, vp, wp, qdiv,
+        tids=None, lut_bits: int = LUT_BITS,
     ):
         """Batched (axis 0) wire fields -> pixels [B, C, HW] uint8 (the
         inverse channel transform is applied on device from `tids`, the
@@ -665,12 +680,12 @@ class CodecProgram:
             fn = jax.jit(
                 jax.vmap(
                     lambda *a: dec(*a, lut_bits=lut_bits),
-                    in_axes=(0,) * 8 + (None,) * 10,
+                    in_axes=(0,) * 9 + (None,) * 10,
                 )
             )
             self._dec_jit[key] = fn
         return fn(
-            states, stream, wire_bits, offpk, vp, wp, qdiv, tids,
+            states, stream, wire_bits, offpk, scales, vp, wp, qdiv, tids,
             self._lap, *self._dec_args,
         )
 
@@ -732,6 +747,7 @@ def _unpack_channels(
         nmask = CONTEXT_AMOUNT * (ALPHABET_SIZE // 32)
         ompk = v[o : o + nmask].view(np.uint32).reshape(CONTEXT_AMOUNT, -1)
         o += nmask
+        scales = v[o : o + CONTEXT_AMOUNT].copy(); o += CONTEXT_AMOUNT
         states = v[o : o + nl].view(np.uint32).copy(); o += nl
 
         contexts = []
@@ -740,14 +756,15 @@ def _unpack_channels(
                 (ompk[b][:, None] >> np.arange(32, dtype=np.uint32)) & 1
             ).astype(bool).reshape(-1)
             off = np.nonzero(mask_bits)[0].astype(np.uint16)
-            # freqs/cdf stay None: the container carries only (bits, off)
-            # and every decoder regenerates tables itself
+            # freqs/cdf stay None: the container carries only (bits, off,
+            # scale) and every decoder regenerates tables itself
             contexts.append(
                 AnsContextTables(
                     max_freq_bits=int(bits[b]),
                     off_distribution_values=off,
                     freqs=None,
                     cdf=None,
+                    scale_idx=int(scales[b]),
                 )
             )
         out.append(
@@ -952,6 +969,10 @@ def assemble_wire_batch(images: List[CompressedImage], nl: int):
     F = sched.num_fine
     bits = np.zeros((B, C, CONTEXT_AMOUNT), dtype=np.int32)
     offpk = np.zeros((B, C, CONTEXT_AMOUNT, ALPHABET_SIZE // 32), dtype=np.uint32)
+    # legacy (v<=8) containers select the per-bucket grid row
+    scales = np.broadcast_to(
+        np.arange(CONTEXT_AMOUNT, dtype=np.int32), (B, C, CONTEXT_AMOUNT)
+    ).copy()
     states = np.zeros((B, C, nl), dtype=np.uint32)
     streams = np.zeros((B, Wpad), dtype=np.uint16)
     vparams = np.zeros((B, C, F, 6), dtype=np.float32)
@@ -964,6 +985,8 @@ def assemble_wire_batch(images: List[CompressedImage], nl: int):
             cd = im.channel_data[c]
             for k, t in enumerate(cd.ans_contexts):
                 bits[b, c, k] = t.max_freq_bits
+                if t.scale_idx >= 0:
+                    scales[b, c, k] = t.scale_idx
                 off = np.asarray(t.off_distribution_values, dtype=np.int64)
                 if off.size:
                     np.bitwise_or.at(
@@ -992,7 +1015,7 @@ def assemble_wire_batch(images: List[CompressedImage], nl: int):
         ]
     )
     tids = np.asarray([im.transform for im in images], dtype=np.int32)
-    return states, streams, bits, offpk, vparams, wparams, qdiv, tids
+    return states, streams, bits, offpk, scales, vparams, wparams, qdiv, tids
 
 
 def decode_pipeline_jax_batch(
@@ -1010,7 +1033,7 @@ def decode_pipeline_jax_batch(
     prog = get_program(meta.height, meta.width, BASE_FRAC_DEPTH, nl, C, mode)
 
     (
-        states, streams, bits, offpk, vparams, wparams, qdiv, tids
+        states, streams, bits, offpk, scales, vparams, wparams, qdiv, tids
     ) = assemble_wire_batch(images, nl)
 
     lut_bits = pick_lut_bits(bits)
@@ -1019,6 +1042,7 @@ def decode_pipeline_jax_batch(
         jnp.asarray(streams),
         jnp.asarray(bits),
         jnp.asarray(offpk),
+        jnp.asarray(scales),
         jnp.asarray(vparams),
         jnp.asarray(wparams),
         jnp.asarray(qdiv),

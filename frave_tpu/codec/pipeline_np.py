@@ -163,6 +163,7 @@ def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedIm
                         off_distribution_values=c.off_distribution_values,
                         freqs=c.freqs,
                         cdf=c.cdf,
+                        scale_idx=c.scale_idx,
                     )
                     for c in contexts
                 ],

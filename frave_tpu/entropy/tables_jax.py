@@ -27,14 +27,46 @@ from .tables import (
 )
 
 
+def select_scales_device(
+    hist: jnp.ndarray,
+    grid_log2: jnp.ndarray,
+    grid_zero: jnp.ndarray,
+) -> jnp.ndarray:
+    """Device twin of tables.select_scale: per-(..., context) Laplace-grid
+    scale minimizing estimated code length + off-list wire cost.
+
+    hist: [..., CA, 1024] i32; grid_log2: [NUM_SCALES, 7, 1024] f32
+    (log2(max(row,1))); grid_zero: [NUM_SCALES, 7, 1024] f32 (row == 0).
+    Returns scale_idx [..., CA] i32. Encode-only — the index travels on
+    the wire, so this need not match the host's f32 ordering exactly."""
+    h = hist.astype(jnp.float32)
+    data = (hist > 0).astype(jnp.float32)
+    total = jnp.sum(h, axis=-1)  # [..., CA]
+    bits0 = jnp.full(total.shape, MIN_FREQ_BITS, jnp.int32)
+    for k in range(MIN_FREQ_BITS + 1, ENC_FREQ_BITS_CAP + 1):
+        bits0 = bits0 + (total >= (1 << k)).astype(jnp.int32)
+    ohb = (
+        (bits0 - MIN_FREQ_BITS)[..., None]
+        == jnp.arange(NUM_BITS_CHOICES, dtype=jnp.int32)
+    ).astype(jnp.float32)  # [..., CA, 7]
+    # gains[..., c, g] = sum_a hist*log2row - 16*zeroed_data, at bits0
+    gl = jnp.einsum("...ca,gba->...cgb", h, grid_log2)
+    gz = jnp.einsum("...ca,gba->...cgb", data, grid_zero)
+    gains = jnp.einsum("...cgb,...cb->...cg", gl - 16.0 * gz, ohb)
+    return jnp.argmax(gains, axis=-1).astype(jnp.int32)
+
+
 def finalize_contexts_device(
     hist: jnp.ndarray,
     lap_rows: jnp.ndarray,
     bits0: jnp.ndarray = None,
     off_mask_in: jnp.ndarray = None,
+    scale_idx: jnp.ndarray = None,
 ):
     """hist: [..., CA, 1024] int32 data histograms;
-    lap_rows: [CONTEXT_AMOUNT, 7, 1024] u32 Laplace tables per (bucket, bits).
+    lap_rows: [CONTEXT_AMOUNT, 7, 1024] u32 Laplace tables per (bucket,
+    bits) — or, with scale_idx given, the full [NUM_SCALES, 7, 1024] grid
+    indexed by scale_idx [..., CA] (format v9).
 
     Encode side: bits0/off_mask_in omitted — starting bits come from the
     histogram totals (context_from_histogram). Decode side: pass the wire
@@ -61,25 +93,57 @@ def finalize_contexts_device(
     else:
         bits0 = jnp.clip(bits0.astype(jnp.int32), MIN_FREQ_BITS, MAX_FREQ_BITS_CAP)
 
-    lap = lap_rows.astype(jnp.int32)  # [CONTEXT_AMOUNT, 7, 1024]
+    lap = lap_rows.astype(jnp.int32)  # [CA or NUM_SCALES, 7, 1024]
+    if scale_idx is not None:
+        # v9: fold the per-(..., context) scale choice into a one-hot over
+        # grid rows; contracted JOINTLY with the bits one-hot below so no
+        # [..., CA, 7, 1024] intermediate ever materializes.
+        ohg = (
+            scale_idx[..., None]
+            == jnp.arange(lap.shape[0], dtype=jnp.int32)
+        ).astype(jnp.float32)  # [..., CA, G]
+    lap_zero_f = (lap == 0).astype(jnp.float32)  # [G, 7, 1024]
     # Per-candidate-bits nonzero counts WITHOUT materializing the
     # [7, ..., CA, 1024] filled tensor: nnz(bits k) = nnz(laplace row k)
     # + |{data symbols where the row is 0}|. The data-dependent part is a
     # 1024-reduction -> one f32 einsum (exact: counts <= 1024 < 2^24)
     # that XLA maps onto the MXU instead of a 7x-wide elementwise sweep.
-    lap_nnz = jnp.sum((lap > 0).astype(jnp.int32), axis=-1)  # [CA, 7]
-    lap_zero_f = (lap == 0).astype(jnp.float32)  # [CA, 7, 1024]
     # HIGHEST precision: under vmap this contraction lowers onto the MXU
     # with bf16-truncated inputs by default (measured on the target TPU:
     # vmapped one-hot matvecs of >8-bit values are INEXACT at default
     # precision); table bits must be exact or streams break
-    extra = jnp.einsum(
-        "...ca,cka->...ck",
-        data.astype(jnp.float32),
-        lap_zero_f,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [..., CA, 7]
-    nnz_all = lap_nnz + extra.astype(jnp.int32)  # [..., CA, 7]
+    if scale_idx is None:
+        lap_nnz = jnp.sum((lap > 0).astype(jnp.int32), axis=-1)  # [CA, 7]
+        extra = jnp.einsum(
+            "...ca,cka->...ck",
+            data.astype(jnp.float32),
+            lap_zero_f,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [..., CA, 7]
+        nnz_all = lap_nnz + extra.astype(jnp.int32)  # [..., CA, 7]
+    else:
+        lap_nnz_f = jnp.sum(
+            (lap > 0).astype(jnp.float32), axis=-1
+        )  # [G, 7]
+        lap_nnz = jnp.einsum(
+            "...cg,gk->...ck",
+            ohg,
+            lap_nnz_f,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)  # [..., CA, 7]
+        ez = jnp.einsum(
+            "...ca,gka->...cgk",
+            data.astype(jnp.float32),
+            lap_zero_f,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [..., CA, G, 7]
+        extra = jnp.einsum(
+            "...cgk,...cg->...ck",
+            ez,
+            ohg,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        nnz_all = lap_nnz + extra.astype(jnp.int32)
 
     # sequential bump: b = bits0; while not ok(b) and b < 14: b += 1
     bits = bits0
@@ -97,12 +161,24 @@ def finalize_contexts_device(
     # HIGHEST precision — lap row values reach 2^14, far past bf16's
     # 8-bit mantissa; a truncated row here silently corrupts every
     # frequency table built on device (see `extra` note above)
-    lap_sel = jnp.einsum(
-        "...ck,cka->...ca",
-        onehot,
-        lap.astype(jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
-    ).astype(jnp.int32)  # [..., CA, 1024]
+    if scale_idx is None:
+        lap_sel = jnp.einsum(
+            "...ck,cka->...ca",
+            onehot,
+            lap.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)  # [..., CA, 1024]
+    else:
+        # joint (scale, bits) one-hot [..., CA, G, 7] — contracting (g, k)
+        # as one 7G-sized dimension keeps the peak intermediate at
+        # [..., CA, G, 7] instead of [..., CA, G, 1024]
+        ohgk = ohg[..., :, None] * onehot[..., None, :]
+        lap_sel = jnp.einsum(
+            "...cgk,gka->...ca",
+            ohgk,
+            lap.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)  # [..., CA, 1024]
     filled = jnp.where(lap_sel > 0, lap_sel, jnp.where(data, 1, 0))
     off_mask = data_raw & (lap_sel == 0)
     if off_mask_in is not None:

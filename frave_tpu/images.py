@@ -111,14 +111,17 @@ class AnsContextTables:
     """Finalized per-bucket rANS tables (reference entropy_coding.rs:31-53).
 
     freqs/cdf are regenerated deterministically from (max_freq_bits,
-    off_distribution_values) on both the encode and decode side — only
-    those two items travel in the container (reference serialize.rs:93-105).
+    off_distribution_values, scale_idx) on both the encode and decode side
+    — only those items travel in the container (reference
+    serialize.rs:93-105; scale_idx is the v9 Laplace-grid row, -1 = legacy
+    per-bucket row).
     """
 
     max_freq_bits: int
     off_distribution_values: np.ndarray  # u16 list
     freqs: np.ndarray  # [1024] u32
     cdf: np.ndarray  # [1024] u32
+    scale_idx: int = -1
 
 
 @dataclasses.dataclass

@@ -412,8 +412,11 @@ class ShardedEncoder:
         # unpack path is shared — no per-context host loops at any batch
         # size, VERDICT round-1 item 5)
         from ..codec.pipeline_jax import _HDR_TABLES, _i32
-        from ..entropy.tables import _LAPLACE_ROWS
-        from ..entropy.tables_jax import finalize_contexts_device
+        from ..entropy.tables import _GRID_LOG2, _LAPLACE_GRID_ROWS
+        from ..entropy.tables_jax import (
+            finalize_contexts_device,
+            select_scales_device,
+        )
         from ..fractal.schedule import get_stream_perm
         from ..ops.rans_jax import stream_compact
 
@@ -421,18 +424,24 @@ class ShardedEncoder:
         self.hdr_words = C * self.chan_hdr + 1
         KC = K * C  # global decode-order stream length (unpadded symbols)
         kcp2 = (KC + 1) // 2
-        lap_dev = jnp.asarray(_LAPLACE_ROWS.astype(np.uint32))
+        lap_dev = jnp.asarray(_LAPLACE_GRID_ROWS.astype(np.uint32))
+        glog2_dev = jnp.asarray(_GRID_LOG2)
+        gzero_dev = jnp.asarray((_LAPLACE_GRID_ROWS == 0).astype(np.float32))
         perm_dev = jnp.asarray(
             get_stream_perm(h, w, nl, depth, self.mode, C).astype(np.int32)
         )
 
         def finalize_tables(hist):
-            # hist [B, C, CA, 1024] -> device tables for entropy + wire
-            return finalize_contexts_device(hist, lap_dev)
+            # hist [B, C, CA, 1024] -> device tables for entropy + wire;
+            # v9 picks the best Laplace grid scale per context first
+            scales = select_scales_device(hist, glog2_dev, gzero_dev)
+            return finalize_contexts_device(hist, lap_dev, scale_idx=scales) + (
+                scales,
+            )
 
         self._finalize = jax.jit(finalize_tables)
 
-        def pack_one(states, words, flags, bits, off_mask, vparams, wparams):
+        def pack_one(states, words, flags, bits, off_mask, scales, vparams, wparams):
             # single image: states [C, NL], words/flags [R, C, NL],
             # bits [C, CA], off_mask [C, CA, 1024] -> packed i32 vector
             # (same layout as pipeline_jax.encode_fused:319-332)
@@ -453,15 +462,16 @@ class ShardedEncoder:
                     _i32(wparams).reshape(C, -1),
                     bits.astype(jnp.int32),
                     _i32(ompk).reshape(C, -1),
+                    scales.astype(jnp.int32),
                     _i32(states),
                 ],
                 axis=1,
             )
             return jnp.concatenate([headers.reshape(-1), total[None], _i32(spk)])
 
-        def pack_batch(states, words, flags, bits, off_mask, vparams, wparams):
-            return jax.vmap(pack_one, in_axes=(0, 1, 1, 0, 0, 0, 0))(
-                states, words, flags, bits, off_mask, vparams, wparams
+        def pack_batch(states, words, flags, bits, off_mask, scales, vparams, wparams):
+            return jax.vmap(pack_one, in_axes=(0, 1, 1, 0, 0, 0, 0, 0))(
+                states, words, flags, bits, off_mask, scales, vparams, wparams
             )
 
         self._pack = jax.jit(pack_batch)
@@ -533,7 +543,7 @@ class ShardedEncoder:
         # context-table finalization stays ON DEVICE (bit-exact twin of the
         # host tables, frave_tpu/entropy/tables_jax.py) — no B x C x 15
         # host loop at any batch size
-        bits, freqs, cdfs, off_mask = self._finalize(hist)
+        bits, freqs, cdfs, off_mask, scales = self._finalize(hist)
 
         R, nl = self.rows, self.nl
         if self._inv_dev is not None:
@@ -560,7 +570,9 @@ class ShardedEncoder:
 
         # on-device global-stream compaction + packed-container assembly;
         # the fetch/unpack path is shared with the single-chip pipeline
-        packed = self._pack(states, words, flags, bits, off_mask, vparams, wparams)
+        packed = self._pack(
+            states, words, flags, bits, off_mask, scales, vparams, wparams
+        )
 
         from ..codec.pipeline_jax import _encode_finish
 
@@ -635,6 +647,7 @@ class TPShardedDecoder:
             stream,  # [W] uint16 (replicated)
             wire_bits,
             offpk,
+            scpk,  # [C, CA] int32 Laplace-grid scale indices (v9 wire)
             vparams,
             wparams,
             qdiv,
@@ -657,7 +670,8 @@ class TPShardedDecoder:
             ).reshape(C, CONTEXT_AMOUNT, ALPHABET_SIZE)
             zero_hist = jnp.zeros((C, CONTEXT_AMOUNT, ALPHABET_SIZE), jnp.int32)
             bits, freqs_i, cdfs_i, _ = finalize_contexts_device(
-                zero_hist, lap, bits0=wire_bits, off_mask_in=off_mask
+                zero_hist, lap, bits0=wire_bits, off_mask_in=off_mask,
+                scale_idx=scpk,
             )
             # ONE merged (sym, freq, cdf) table (decode_step_merged's
             # layout): a batched-index gather costs the same regardless
@@ -773,6 +787,7 @@ class TPShardedDecoder:
             P(),  # stream
             P(),  # bits
             P(),  # offpk
+            P(),  # scales
             P(),  # vparams
             P(),  # wparams
             P(),  # qdiv
@@ -809,12 +824,16 @@ class TPShardedDecoder:
             raise ValueError("decoder built for a different image shape")
         wire = assemble_wire_batch([im], im.num_lanes)
         prog, fn = self._program(im.num_lanes, im.mode, wire[1].shape[-1])
-        states, streams, bits, offpk, vparams, wparams, qdiv, tids = wire
+        (
+            states, streams, bits, offpk, scales, vparams, wparams, qdiv,
+            tids,
+        ) = wire
         pixels = fn(
             jnp.asarray(states[0]),
             jnp.asarray(streams[0]),
             jnp.asarray(bits[0]),
             jnp.asarray(offpk[0]),
+            jnp.asarray(scales[0]),
             jnp.asarray(vparams[0]),
             jnp.asarray(wparams[0]),
             jnp.asarray(qdiv[0]),
@@ -859,10 +878,10 @@ class ShardedDecoder:
                 _shard_map(
                     jax.vmap(
                         lambda *a: dec(*a, lut_bits=lut_bits),
-                        in_axes=(0,) * 8 + (None,) * 10,
+                        in_axes=(0,) * 9 + (None,) * 10,
                     ),
                     mesh=self.mesh,
-                    in_specs=(P(axes),) * 8 + (P(),) * 10,
+                    in_specs=(P(axes),) * 9 + (P(),) * 10,
                     out_specs=P(axes),
                     check_vma=False,
                 ),

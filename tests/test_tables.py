@@ -47,12 +47,23 @@ def test_wire_regeneration_matches_encoder_side():
         hist = np.bincount(packed, minlength=ALPHABET_SIZE).astype(np.uint32)[:ALPHABET_SIZE]
         enc_ctx = context_from_histogram(hist, bucket)
         dec_ctx = context_from_wire(
-            bucket, enc_ctx.max_freq_bits, enc_ctx.off_distribution_values.tolist()
+            bucket,
+            enc_ctx.max_freq_bits,
+            enc_ctx.off_distribution_values.tolist(),
+            scale_idx=enc_ctx.scale_idx,  # v9: the scale travels in EHD
         )
         # the decoder must rebuild bit-identical tables from the wire fields
         assert np.array_equal(enc_ctx.freqs, dec_ctx.freqs)
         assert np.array_equal(enc_ctx.cdf, dec_ctx.cdf)
         assert enc_ctx.max_freq_bits == dec_ctx.max_freq_bits
+
+        # legacy encoders (adaptive_scale=False) need no scale on the wire
+        leg_ctx = context_from_histogram(hist, bucket, adaptive_scale=False)
+        assert leg_ctx.scale_idx == bucket
+        leg_dec = context_from_wire(
+            bucket, leg_ctx.max_freq_bits, leg_ctx.off_distribution_values.tolist()
+        )
+        assert np.array_equal(leg_ctx.freqs, leg_dec.freqs)
 
 
 def test_empty_context_does_not_crash():
