@@ -132,6 +132,20 @@ def test_fuzz_container_fields(blob, backend):
         )
         _expect_clean(serialize(ci), shape, backend, f"off-list {off[:3]}")
 
+    # v9 Laplace-grid scale index: any in-grid value must decode cleanly
+    # (wrong pixels are fine — no integrity check by design); out-of-grid
+    # values must be rejected as SerializeError at deserialize
+    from frave_tpu.entropy.tables import NUM_SCALES
+
+    for v in (0, 14, NUM_SCALES - 1, NUM_SCALES, 200, 255):
+        ci = deserialize(data)
+        ci.channel_data[0].ans_contexts[5].scale_idx = v
+        try:
+            reblob = serialize(ci)
+        except (SerializeError, ValueError, struct_error):
+            continue
+        _expect_clean(reblob, shape, backend, f"scale_idx {v}")
+
     # quantization matrix: zeros would divide-by-zero a naive decoder
     for fill in (0, 1, 9, 65535):
         ci = deserialize(data)
