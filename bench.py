@@ -78,7 +78,10 @@ def bench_jax(corpus: np.ndarray, reps: int = 6, batch_size: int = 64) -> float:
     from frave_tpu import EncoderOptions, RasterImage
     from frave_tpu.codec.pipeline_jax import roundtrip_pipeline_jax_stream
 
-    opts = EncoderOptions(backend="jax")
+    nl_env = os.environ.get("FRAVE_BENCH_LANES")
+    opts = EncoderOptions(
+        backend="jax", num_lanes=int(nl_env) if nl_env else None
+    )
     n, h, w, c = corpus.shape
     imgs = [RasterImage.from_array(corpus[i]) for i in range(n)]
 

@@ -102,6 +102,42 @@ def _gram_solve(G: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return x[..., 0]
 
 
+# --- packed 3-channel coefficient plane (RGB fast path) --------------
+# Quantized coefficients of 8-bit input are bounded |q| <= 511 (lifting
+# sums/differences of [0, 255] pixels; quantization only shrinks), so
+# each channel fits a biased 10-bit field and ONE u32 word carries all
+# three. The decode scan's per-step 6-neighbour gather and the encoder's
+# bulk [C, K, 6] gather are random-access throughput-bound on this TPU
+# (cost ~linear in gathered element count — measured round 2: doubling
+# lanes halves steps but leaves scan time unchanged), so packing cuts
+# the dominant traffic 3x for RGB. Corrupt streams can produce |value|
+# up to 767; the pack clamps, which only affects already-garbage pixels
+# (the robustness contract is decode-without-crash, not fidelity).
+_PACK_BIAS = 512
+_PACK_ZERO = int(512 | (512 << 10) | (512 << 20))
+
+
+def _pack3(v):
+    """[3, ...] int32 -> [...] uint32 (biased 10-bit fields)."""
+    vc = jnp.clip(v + _PACK_BIAS, 0, 1023).astype(jnp.uint32)
+    return vc[0] | (vc[1] << jnp.uint32(10)) | (vc[2] << jnp.uint32(20))
+
+
+def _unpack3(w):
+    """[...] uint32 -> [3, ...] int32."""
+    m = jnp.uint32(1023)
+    return (
+        jnp.stack(
+            [
+                (w & m).astype(jnp.int32),
+                ((w >> jnp.uint32(10)) & m).astype(jnp.int32),
+                ((w >> jnp.uint32(20)) & m).astype(jnp.int32),
+            ]
+        )
+        - _PACK_BIAS
+    )
+
+
 def _i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
@@ -313,20 +349,31 @@ class CodecProgram:
             else:
                 coef = J.forward_lifting(leaves, leaf_mask[None], depth)
                 qcoef = J.quantize(coef, qdiv[None, None, :])
-            # int16 coefficient plane: values are bounded (|coef| <= 511
-            # for 8-bit input, preds clamp at +-255), and the [C, K, 6]
-            # neighbour gather below is the big random-access read — int16
-            # halves its HBM traffic. int16 -> int32/f32 casts are exact.
-            qpad = jnp.concatenate(
-                [
-                    qcoef.reshape(C, n_slots).astype(jnp.int16),
-                    jnp.zeros((C, 1), jnp.int16),
-                ],
-                axis=1,
-            )
-
-            vals = qpad[:, snbr_safe].astype(jnp.int32)  # [C, K, 6]
-            target = qpad[:, sc].astype(jnp.int32)  # [C, K]
+            if C == 3:
+                # packed u32 plane: ONE bulk gather instead of three (see
+                # _pack3) — the [C, K, 6] neighbour read dominates encode
+                # at large shapes
+                qpk = jnp.concatenate(
+                    [
+                        _pack3(qcoef.reshape(3, n_slots)),
+                        jnp.full((1,), _PACK_ZERO, jnp.uint32),
+                    ]
+                )
+                vals = _unpack3(qpk[snbr_safe])  # [3, K, 6]
+                target = _unpack3(qpk[sc])  # [3, K]
+            else:
+                # int16 coefficient plane: values are bounded (|coef| <=
+                # 511 for 8-bit input, preds clamp at +-255); int16
+                # halves the gather's HBM traffic, casts are exact.
+                qpad = jnp.concatenate(
+                    [
+                        qcoef.reshape(C, n_slots).astype(jnp.int16),
+                        jnp.zeros((C, 1), jnp.int16),
+                    ],
+                    axis=1,
+                )
+                vals = qpad[:, snbr_safe].astype(jnp.int32)  # [C, K, 6]
+                target = qpad[:, sc].astype(jnp.int32)  # [C, K]
 
             # --- predictor fits: per-group Gram over STATIC k-slices
             # (groups are contiguous in schedule order — no masked design
@@ -523,16 +570,31 @@ class CodecProgram:
                 freqs_i, cdfs_i, bits, lut_bits
             )
 
-            # int16 coefficient plane (same bound argument as encode:
-            # |unpack_signed(sym <= 1023)| + |pred <= 255| <= 767 even on
-            # corrupt streams) — the per-step neighbour gather reads it
-            qpad0 = jnp.zeros((C, n_slots + 1), dtype=jnp.int16)
+            if C == 3:
+                # packed u32 plane (see _pack3): per step, ONE [NL, 6]
+                # neighbour gather + ONE [NL] scatter instead of three of
+                # each. One dummy slot per lane keeps the step's scatter
+                # indices provably unique (the schedule writes each slot
+                # exactly once; inactive lanes park on their own dummy);
+                # missing neighbours read slot n_slots = lane 0's dummy,
+                # which always holds the packed zero.
+                n_pad = n_slots + nl
+                lane_dummy = n_slots + jnp.arange(nl, dtype=jnp.int32)
+                qpad0 = jnp.full((n_pad,), _PACK_ZERO, dtype=jnp.uint32)
+            else:
+                # int16 plane (same bound argument as encode: |unpack_
+                # signed(sym <= 1023)| + |pred <= 255| <= 767 even on
+                # corrupt streams)
+                qpad0 = jnp.zeros((C, n_slots + 1), dtype=jnp.int16)
             gptr0 = jnp.int32(0)
 
             def body(carry, xs):
                 qpad, x, gptr = carry
                 coef_safe, active, nbr_safe, lf, grp, fbkt = xs
-                vals = qpad[:, nbr_safe].astype(jnp.int32)  # [C, NL, 6]
+                if C == 3:
+                    vals = _unpack3(qpad[nbr_safe])  # [3, NL, 6]
+                else:
+                    vals = qpad[:, nbr_safe].astype(jnp.int32)  # [C, NL, 6]
                 buckets, preds = jax.vmap(
                     lambda v, vp, wp: J.contexts(
                         v, lf, grp, vp, wp, onehot_params=True
@@ -544,11 +606,18 @@ class CodecProgram:
                     x, gptr, buckets, act, stream, merged, bits, lut_bits
                 )
                 values = J.unpack_signed(sym) + preds
-                wslot = jnp.where(act, coef_safe[None], n_slots)
-                wval = jnp.where(act, values, 0).astype(jnp.int16)
-                qpad = jax.vmap(lambda q, s, v: q.at[s].set(v))(
-                    qpad, wslot, wval
-                )
+                if C == 3:
+                    wslot = jnp.where(active, coef_safe, lane_dummy)
+                    wval = jnp.where(
+                        active, _pack3(values), jnp.uint32(_PACK_ZERO)
+                    )
+                    qpad = qpad.at[wslot].set(wval, unique_indices=True)
+                else:
+                    wslot = jnp.where(act, coef_safe[None], n_slots)
+                    wval = jnp.where(act, values, 0).astype(jnp.int16)
+                    qpad = jax.vmap(lambda q, s, v: q.at[s].set(v))(
+                        qpad, wslot, wval
+                    )
                 return (qpad, x, gptr), None
 
             (qpad, _, _), _ = jax.lax.scan(
@@ -557,7 +626,10 @@ class CodecProgram:
                 (d_coef, d_active, d_nbr, d_lf, d_grp, d_fbkt),
                 unroll=min(SCAN_UNROLL, d_coef.shape[0]),
             )
-            qcoef = qpad[:, :n_slots].astype(jnp.int32).reshape(C, T, N)
+            if C == 3:
+                qcoef = _unpack3(qpad[:n_slots]).reshape(C, T, N)
+            else:
+                qcoef = qpad[:, :n_slots].astype(jnp.int32).reshape(C, T, N)
             if use_pallas:
                 from ..ops.pallas_lifting import dequantize_inverse_lift
 

@@ -687,7 +687,15 @@ class TPShardedDecoder:
             )
             lane_lo = s_idx * NLl
 
-            qpad0 = jnp.zeros((C, n_slots + 1), dtype=jnp.int32)
+            from ..codec.pipeline_jax import _PACK_ZERO, _pack3, _unpack3
+
+            if C == 3:
+                # packed u32 plane: per step ONE local [NLl, 6] gather +
+                # ONE replicated [NL] scatter (see pipeline_jax._pack3 —
+                # random-access element count is the scan's cost driver)
+                qpad0 = jnp.full((n_slots + 1,), _PACK_ZERO, jnp.uint32)
+            else:
+                qpad0 = jnp.zeros((C, n_slots + 1), dtype=jnp.int32)
             gptr0 = jnp.int32(0)
 
             g_mrg = jax.vmap(lambda tab, bk, f: tab[bk, f])
@@ -696,7 +704,10 @@ class TPShardedDecoder:
                 qpad, x, gptr = carry
                 coef_safe, active_all, nbr_l, lf_l, grp_l, fbkt_l = xs
                 # local context computation for this shard's lanes
-                vals = qpad[:, nbr_l]  # [C, NLl, 6]
+                if C == 3:
+                    vals = _unpack3(qpad[nbr_l])  # [3, NLl, 6]
+                else:
+                    vals = qpad[:, nbr_l]  # [C, NLl, 6]
                 buckets, preds = jax.vmap(
                     lambda v, vp, wp: J.contexts(
                         v, lf_l, grp_l, vp, wp, onehot_params=True
@@ -751,12 +762,19 @@ class TPShardedDecoder:
                 x = jnp.where(act, x_new, x)
                 gptr = gptr + jnp.sum(nf)
                 # replicated scatter of the whole step's coefficients
-                act_all = jnp.broadcast_to(active_all[None], (C, nl))
-                wslot = jnp.where(act_all, coef_safe[None], n_slots)
-                wval = jnp.where(act_all, values_all, 0)
-                qpad = jax.vmap(lambda q, s, v: q.at[s].set(v))(
-                    qpad, wslot, wval
-                )
+                if C == 3:
+                    wslot = jnp.where(active_all, coef_safe, n_slots)
+                    wval = jnp.where(
+                        active_all, _pack3(values_all), jnp.uint32(_PACK_ZERO)
+                    )
+                    qpad = qpad.at[wslot].set(wval)
+                else:
+                    act_all = jnp.broadcast_to(active_all[None], (C, nl))
+                    wslot = jnp.where(act_all, coef_safe[None], n_slots)
+                    wval = jnp.where(act_all, values_all, 0)
+                    qpad = jax.vmap(lambda q, s, v: q.at[s].set(v))(
+                        qpad, wslot, wval
+                    )
                 return (qpad, x, gptr), None
 
             from ..ops.rans_jax import SCAN_UNROLL
@@ -767,7 +785,10 @@ class TPShardedDecoder:
                 (d_coef, d_active, d_nbr_l, d_lf_l, d_grp_l, d_fbkt_l),
                 unroll=min(SCAN_UNROLL, d_coef.shape[0]),
             )
-            qcoef = qpad[:, :n_slots].reshape(C, T, N)
+            if C == 3:
+                qcoef = _unpack3(qpad[:n_slots]).reshape(C, T, N)
+            else:
+                qcoef = qpad[:, :n_slots].reshape(C, T, N)
             coef = J.dequantize(qcoef, qdiv[None, None, :])
             leaves = J.inverse_lifting(
                 coef, depth, node_mask[None], leaf_inb[None]
