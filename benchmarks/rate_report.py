@@ -35,6 +35,15 @@ CORPUS = {
     "generated/_images/intro_blade.jpg",
     # the reference repo's own test image
     "fractals": "/root/reference/img/fractals.gif",
+    # screen content (document/table screenshot with anti-aliased text) —
+    # a distinct content class from photos and flat graphics; cropped to a
+    # text-dense region (the full 3526x1292 scan is slow on the numpy
+    # oracle with --trial)
+    "screendoc": (
+        "/opt/venv/lib/python3.12/site-packages/aqt/jax_legacy/"
+        "jax/imagenet/imagenet.png",
+        (600, 150, 1600, 750),  # left, top, right, bottom
+    ),
 }
 
 
@@ -62,11 +71,14 @@ def main() -> int:
     dec = FRIDecoder(backend=args.backend)
 
     sums = {"gray": [0.0, 0.0, 0], "rgb": [0.0, 0.0, 0]}
-    for name, path in CORPUS.items():
+    for name, entry in CORPUS.items():
+        path, crop = entry if isinstance(entry, tuple) else (entry, None)
         if not os.path.exists(path):
             print(f"{name:9s} SKIP (not present)")
             continue
         im = Image.open(path)
+        if crop is not None:
+            im = im.crop(crop)
         for mode, tag in (("L", "gray"), ("RGB", "rgb")):
             arr = np.asarray(im.convert(mode))
             if arr.ndim == 2:

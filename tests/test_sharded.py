@@ -134,6 +134,26 @@ def test_tp_sharded_decode_single_image():
         np.testing.assert_array_equal(out.data, arr)
 
 
+def test_tp_sharded_decode_rgb():
+    """RGB exercises the packed-u32 coefficient plane inside the
+    lane-sharded scan (3 channels per word — pipeline_jax._pack3)."""
+    from frave_tpu.codec.encoder import FRIEncoder
+    from frave_tpu.parallel.mesh import make_mesh as mm
+    from frave_tpu.parallel.sharded import TPShardedDecoder
+
+    rng = np.random.default_rng(23)
+    h, w = 48, 64
+    base = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    arr = np.stack(
+        [base, np.roll(base, 3, 0), rng.integers(0, 256, (h, w))], axis=-1
+    ).astype(np.uint8)
+    blob = FRIEncoder(EncoderOptions(backend="jax", num_lanes=64)).encode(arr)
+    mesh = mm(8, shape=(2, 4))
+    dec = TPShardedDecoder(height=h, width=w, channels=3, mesh=mesh)
+    out = dec.decode(blob)
+    np.testing.assert_array_equal(out.data, arr)
+
+
 def test_halo_exchange_is_ppermute():
     """The tile-halo exchange must be a boundary-residue ppermute ring
     (SURVEY section 2.3 config 5), not a full-plane all_gather: the plan is
