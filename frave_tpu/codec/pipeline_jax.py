@@ -39,6 +39,7 @@ analog) and both decoders consume them identically.
 from __future__ import annotations
 
 import dataclasses
+import os
 import threading
 from typing import Dict, List, Tuple
 
@@ -300,6 +301,31 @@ class CodecProgram:
         )
         st_coef = steps.step_coef.astype(np.int32)
         st_active = st_coef >= 0
+        # ---- decode segments (parallel mode): one entry per schedule
+        # wave, whose lf/group/fbkt are wave-constant by construction
+        # (fractal/schedule.py build_schedule allocates one fine id per
+        # contiguous wave) — the gather-free decode hoists neighbour
+        # gathers, context math and coefficient scatters out of the rANS
+        # scan into per-wave bulk ops (see decode_fused_seg below).
+        self._segments = []
+        if self.mode == "parallel" and S > 0:
+            waves = steps.step_wave
+            # zero-size waves (e.g. no B-tiles on a 1-tile image) emit no
+            # steps — iterate only waves that actually appear
+            for wv in np.unique(waves).tolist():
+                idx = np.nonzero(waves == wv)[0]
+                s0, s1 = int(idx.min()), int(idx.max()) + 1
+                assert np.array_equal(idx, np.arange(s0, s1))
+                act0 = st_active[s0]
+                grp = int(steps.step_group[s0][act0][0])
+                fbkt = int(steps.step_fbkt[s0][act0][0])
+                lf = bool(steps.step_lf[s0][act0][0])
+                for s in range(s0, s1):
+                    a = st_active[s]
+                    assert (steps.step_group[s][a] == grp).all()
+                    assert (steps.step_fbkt[s][a] == fbkt).all()
+                    assert (steps.step_lf[s][a] == lf).all()
+                self._segments.append((s0, s1, grp, fbkt, lf))
         self._dec_args = (
             put(np.where(st_active, st_coef, n_slots).astype(np.int32)),
             put(st_active),
@@ -565,10 +591,25 @@ class CodecProgram:
             # --- ONE merged (sym, freq, cdf) decode table, built with
             # prefix ops only; lut_bits is static per program — the host
             # dispatcher picks 2**ENC_FREQ_BITS_CAP for new streams and
-            # falls back to 2**MAX_FREQ_BITS_CAP for legacy wire bits
-            merged = build_merged_decode_table(
-                freqs_i, cdfs_i, bits, lut_bits
-            )
+            # falls back to 2**MAX_FREQ_BITS_CAP for legacy wire bits.
+            # (Round 3 also built a gather-free compare/one-hot step —
+            # ops/rans_jax.decode_step_comparefree, FRAVE_COMPAREFREE=1 —
+            # but profiling shows the whole decode scan is ~31ms device
+            # time at B=64 with EITHER step; the wall clock is dominated
+            # by per-dispatch tunnel overhead, and the merged-gather step
+            # measures slightly faster end to end.)
+            use_cmpfree = os.environ.get("FRAVE_COMPAREFREE", "0") == "1"
+            if use_cmpfree:
+                from ..ops.rans_jax import (
+                    decode_step_comparefree,
+                    prepare_compare_tables,
+                )
+
+                tabs = prepare_compare_tables(cdfs_i, bits)
+            else:
+                merged = build_merged_decode_table(
+                    freqs_i, cdfs_i, bits, lut_bits
+                )
 
             if C == 3:
                 # packed u32 plane (see _pack3): per step, ONE [NL, 6]
@@ -602,9 +643,20 @@ class CodecProgram:
                 )(vals, vparams, wparams)
                 buckets = jnp.where(fbkt[None] >= 0, fbkt[None], buckets)
                 act = jnp.broadcast_to(active[None], (C, nl))
-                sym, x, gptr = decode_step_merged(
-                    x, gptr, buckets, act, stream, merged, bits, lut_bits
-                )
+                if use_cmpfree:
+                    oh_bkt = jnp.asarray(
+                        buckets[..., None]
+                        == jnp.arange(CONTEXT_AMOUNT, dtype=jnp.int32),
+                        dtype=jnp.bfloat16,
+                    )
+                    sym, x, gptr = decode_step_comparefree(
+                        x, gptr, oh_bkt, active, stream, tabs
+                    )
+                else:
+                    sym, x, gptr = decode_step_merged(
+                        x, gptr, buckets, act, stream, merged, bits,
+                        lut_bits,
+                    )
                 values = J.unpack_signed(sym) + preds
                 if C == 3:
                     wslot = jnp.where(active, coef_safe, lane_dummy)
@@ -661,8 +713,154 @@ class CodecProgram:
                 planes = _inverse_transform_device(planes, tid)
             return planes.astype(jnp.uint8)
 
+        # ------------- gather-free segment decode (parallel mode) ------
+        segments = self._segments
+
+        def decode_fused_seg(
+            states, stream, wire_bits, offpk, scpk, vparams, wparams,
+            qdiv, tid, lap,
+            d_coef, d_active, d_nbr, d_lf, d_grp, d_fbkt,
+            pix_safe, node_mask, leaf_inb, lut_bits=LUT_BITS,
+        ):
+            """Round-3 decode redesign. The old scan (decode_fused above)
+            pays ~0.4ms per step for EACH batched-index gather/scatter on
+            this TPU (benchmarks/op_cost_probe.py). In parallel mode every
+            schedule wave's symbols depend only on *earlier* waves
+            (fractal/schedule.py), so per wave: ONE bulk neighbour gather
+            + bulk context math + ONE bulk scatter, and the per-step scan
+            body shrinks to the rANS state machine itself — table lookups
+            replaced by bf16 one-hot MXU contractions + compares
+            (ops/rans_jax.decode_step_comparefree), leaving NO gathers in
+            the loop. Replaces the serial decode of
+            entropy_coding.rs:354-449."""
+            from ..ops.rans_jax import (
+                decode_step_comparefree,
+                prepare_compare_tables,
+            )
+
+            shifts32 = jnp.arange(32, dtype=jnp.uint32)
+            off_mask = (
+                ((offpk[..., None] >> shifts32) & jnp.uint32(1)) > 0
+            ).reshape(C, CONTEXT_AMOUNT, ALPHABET_SIZE)
+            zero_hist = jnp.zeros(
+                (C, CONTEXT_AMOUNT, ALPHABET_SIZE), jnp.int32
+            )
+            bits, _, cdfs_i, _ = finalize_contexts_device(
+                zero_hist, lap, bits0=wire_bits, off_mask_in=off_mask,
+                scale_idx=scpk,
+            )
+            tabs = prepare_compare_tables(cdfs_i, bits)
+
+            if C == 3:
+                # packed u32 plane (see _pack3); bulk scatters may route
+                # every inactive lane to ONE shared dummy slot (they all
+                # write the packed zero, so collision order is harmless)
+                qpad = jnp.full((n_slots + 1,), _PACK_ZERO, jnp.uint32)
+            else:
+                qpad = jnp.zeros((C, n_slots + 1), dtype=jnp.int16)
+            x = states
+            gptr = jnp.int32(0)
+
+            for (s0, s1, grp, fbkt, lf) in segments:
+                nbr_s = d_nbr[s0:s1]  # [Ss, NL, 6] static slice
+                coef_s = d_coef[s0:s1]  # [Ss, NL]
+                act_s = d_active[s0:s1]  # [Ss, NL]
+                # --- bulk neighbour gather + contexts for the wave
+                if C == 3:
+                    vals = _unpack3(qpad[nbr_s])  # [3, Ss, NL, 6]
+                else:
+                    vals = qpad[:, nbr_s].astype(jnp.int32)
+                vp_row = vparams[:, grp].reshape(C, 1, 1, 6)
+                wp_row = wparams[:, grp].reshape(C, 1, 1, 6)
+                buckets, preds = J.contexts_static(
+                    vals, vp_row, wp_row, lf
+                )  # [C, Ss, NL]
+                if fbkt >= 0:
+                    buckets = jnp.full_like(buckets, fbkt)
+                oh = jnp.asarray(
+                    buckets[..., None]
+                    == jnp.arange(CONTEXT_AMOUNT, dtype=jnp.int32),
+                    dtype=jnp.bfloat16,
+                ).transpose(1, 0, 2, 3)  # [Ss, C, NL, CA]
+
+                def body(carry, xs):
+                    x, gptr = carry
+                    oh_t, act_t = xs
+                    sym, x, gptr = decode_step_comparefree(
+                        x, gptr, oh_t, act_t, stream, tabs
+                    )
+                    return (x, gptr), sym
+
+                (x, gptr), syms = jax.lax.scan(
+                    body, (x, gptr), (oh, act_s)
+                )  # syms [Ss, C, NL]
+                values = (
+                    J.unpack_signed(syms.transpose(1, 0, 2)) + preds
+                )  # [C, Ss, NL]
+                # --- bulk scatter of the wave's coefficients
+                if C == 3:
+                    wslot = jnp.where(act_s, coef_s, n_slots).reshape(-1)
+                    wval = jnp.where(
+                        act_s.reshape(-1),
+                        _pack3(values.reshape(3, -1)),
+                        jnp.uint32(_PACK_ZERO),
+                    )
+                    qpad = qpad.at[wslot].set(wval)
+                else:
+                    wslot = jnp.where(act_s, coef_s, n_slots).reshape(-1)
+                    wval = jnp.where(
+                        act_s.reshape(1, -1),
+                        values.reshape(C, -1),
+                        0,
+                    ).astype(jnp.int16)
+                    qpad = jax.vmap(lambda q, v: q.at[wslot].set(v))(
+                        qpad, wval
+                    )
+
+            if C == 3:
+                qcoef = _unpack3(qpad[:n_slots]).reshape(C, T, N)
+            else:
+                qcoef = qpad[:, :n_slots].astype(jnp.int32).reshape(C, T, N)
+            if use_pallas:
+                from ..ops.pallas_lifting import dequantize_inverse_lift
+
+                qnt = qcoef.transpose(2, 0, 1).reshape(N, C * T)
+                nmt = jnp.broadcast_to(
+                    node_mask.T[:, None, :], (N, C, T)
+                ).reshape(N, C * T)
+                lmt = jnp.broadcast_to(
+                    leaf_inb.T[:, None, :], (N, C, T)
+                ).reshape(N, C * T)
+                leaves = (
+                    dequantize_inverse_lift(qnt, nmt, lmt, qdiv, depth)
+                    .reshape(N, C, T)
+                    .transpose(1, 2, 0)
+                )
+            else:
+                coef = J.dequantize(qcoef, qdiv[None, None, :])
+                leaves = J.inverse_lifting(
+                    coef, depth, node_mask[None], leaf_inb[None]
+                )
+            out = jnp.zeros((C, HW + 1), dtype=jnp.int32)
+            out = out.at[:, pix_safe].set(leaves.reshape(C, -1))
+            planes = jnp.clip(out[:, :HW], 0, 255)
+            if C == 3:
+                planes = _inverse_transform_device(planes, tid)
+            return planes.astype(jnp.uint8)
+
         self._encode_fused = encode_fused
-        self._decode_fused = decode_fused
+        # Both decoders are bit-exact twins (same wire). The in-scan
+        # variant (decode_fused, with the round-3 compare-free rANS step)
+        # measures FASTER than the segment-bulk variant on the target
+        # TPU today: gathers there are throughput-bound per lookup, so
+        # hoisting them per wave saves nothing and loses scan-internal
+        # overlap. The segment path is kept behind FRAVE_SEG_DECODE=1 as
+        # the host for the level-lattice shift redesign (no gathers).
+        use_seg = (
+            os.environ.get("FRAVE_SEG_DECODE", "0") == "1"
+            and self.mode == "parallel"
+        )
+        self._decode_fused = decode_fused_seg if use_seg else decode_fused
         self._enc_jit: Dict[int, callable] = {}
         self._dec_jit: Dict[int, callable] = {}
         # learned stream-size guess (i32 words) for the single speculative

@@ -308,16 +308,19 @@ class LaneSteps:
     step_lf: np.ndarray  # [S, NL] bool
     step_group: np.ndarray  # [S, NL] int8
     step_fbkt: np.ndarray  # [S, NL] int8 fixed bucket or -1
+    step_wave: np.ndarray  # [S] int32 wave id of each step
 
 
 def build_lane_steps(sched: WavefrontSchedule, nl: int) -> LaneSteps:
     steps: List[Tuple[int, int]] = []  # (k0, len)
+    wave_of_step: List[int] = []
     k = 0
-    for wsize in sched.wave_sizes.tolist():
+    for w, wsize in enumerate(sched.wave_sizes.tolist()):
         rem = wsize
         while rem > 0:
             take = min(rem, nl)
             steps.append((k, take))
+            wave_of_step.append(w)
             k += take
             rem -= take
     S = len(steps)
@@ -341,6 +344,7 @@ def build_lane_steps(sched: WavefrontSchedule, nl: int) -> LaneSteps:
         step_lf=step_lf.astype(bool),
         step_group=step_group.astype(np.int8),
         step_fbkt=step_fbkt.astype(np.int8),
+        step_wave=np.asarray(wave_of_step, dtype=np.int32),
     )
 
 

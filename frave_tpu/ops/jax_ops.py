@@ -230,6 +230,20 @@ def contexts(
     else:
         vp = vparams[gi]  # [..., 6]
         wp = wparams[gi]
+    hf_bucket, hf_pred = contexts_hf(vals, vp, wp)
+
+    bucket = jnp.where(lf, lf_bucket, hf_bucket)
+    pred = jnp.where(lf, med, hf_pred)
+    pred = jnp.clip(pred, -PRED_CLAMP, PRED_CLAMP)
+    return bucket, pred
+
+
+def contexts_hf(vals: jnp.ndarray, vp: jnp.ndarray, wp: jnp.ndarray):
+    """HF context bucket + UNCLAMPED prediction with already-selected
+    predictor rows (vp/wp broadcastable to [..., 6]) — the shared core of
+    `contexts` and the segment decode path, where the parameter group is
+    constant per schedule segment so no per-symbol selection is needed
+    (prediction.rs:151-207)."""
     vf = vals.astype(jnp.float32)
     g1 = jnp.abs(vf[..., 0] - vf[..., 3])
     g2 = jnp.abs(vf[..., 1] - vf[..., 2])
@@ -262,11 +276,33 @@ def contexts(
     hf_pred = jnp.trunc(
         jnp.clip(jnp.where(jnp.isnan(hf_pred_f), 0.0, hf_pred_f), -1e9, 1e9)
     ).astype(jnp.int32)
+    return hf_bucket, hf_pred
 
-    bucket = jnp.where(lf, lf_bucket, hf_bucket)
-    pred = jnp.where(lf, med, hf_pred)
-    pred = jnp.clip(pred, -PRED_CLAMP, PRED_CLAMP)
-    return bucket, pred
+
+def contexts_static(
+    vals: jnp.ndarray,  # [..., 6] int32 neighbour values (0 where absent)
+    vp: jnp.ndarray,  # [6] f32 — the segment's predictor row
+    wp: jnp.ndarray,  # [6] f32
+    lf: bool,  # static: segment phase (parallel mode: always False)
+):
+    """`contexts` specialised for one schedule segment: lf and the
+    parameter group are compile-time constants there (every wave of the
+    parallel-mode schedule carries a single fine group id —
+    fractal/schedule.py build_schedule), so the per-symbol one-hot
+    parameter selection of the scan path disappears entirely."""
+    if lf:
+        v = vals.astype(jnp.int32)
+        v0, v1, v2 = v[..., 0], v[..., 1], v[..., 2]
+        mx = jnp.maximum(v0, v2)
+        mn = jnp.minimum(v0, v2)
+        med = jnp.where(
+            v1 >= mx, mx, jnp.where(v1 <= mn, mn, v0 + v2 - v1)
+        )
+        bucket = assign_bucket_f32(jnp.abs(v0 - v2).astype(jnp.float32))
+        pred = med
+    else:
+        bucket, pred = contexts_hf(vals, vp, wp)
+    return bucket, jnp.clip(pred, -PRED_CLAMP, PRED_CLAMP)
 
 
 def gather_neighbours(coef_padded: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:

@@ -233,6 +233,158 @@ def build_merged_decode_table(
     return jnp.stack([word0, sym.astype(jnp.uint32)], axis=-1)
 
 
+W32 = 32  # coarse/fine split of the 1024-symbol alphabet (32 x 32)
+
+
+def prepare_compare_tables(cdfs, scale_bits, alphabet=1024):
+    """Precompute the bf16 two-plane cdf tables for the gather-free
+    decode step (decode_step_comparefree).
+
+    The round-3 redesign: batched-index gathers inside the decode scan
+    cost ~0.4ms/step on the target TPU regardless of table size, while a
+    bf16 one-hot einsum on the MXU is ~free (measured,
+    benchmarks/op_cost_probe.py: gather 402-410us, bf16 one-hot 0.4us,
+    scatter ~0us). So the per-symbol (sym, freq, cdf) lookup of the
+    reference decoder (entropy_coding.rs:180-185,246-255) becomes pure
+    compare/reduce arithmetic against cdf STAIRCASES selected by one-hot
+    contractions:
+
+      sym  = (# of cdf entries <= slot) - 1        (last wins — exact
+              twin of the reference's duplicate-cdf linear walk)
+      cdf  = max(cdf entries <= slot)
+      freq = min(cdf entries > slot, 2**bits) - cdf  (zero-freq runs
+              collapse, so the next *distinct* cdf is cdf[sym]+freq[sym])
+
+    bf16 exactness: one-hot entries are 0/1; cdf values (<= 2**14) are
+    split into hi = cdf >> 7 (<= 128) and lo = cdf & 127 (<= 127) planes,
+    both exactly representable in bf16 (integers <= 256); each
+    contraction has exactly one nonzero term, so the f32-accumulated MXU
+    result is exact.
+
+    cdfs: [..., CA, alphabet] int; scale_bits: [..., CA] int (<= 14).
+    Returns a dict of planes (all jnp arrays):
+      cdf_hi/lo [..., CA, 32, 32] bf16, coarse_hi/lo [..., CA, 33] bf16
+      (entry j = cdf[32j], entry 32 = 2**bits sentinel), bits [..., CA]
+      bf16.
+    """
+    ca = cdfs.shape[-2]
+    lead = cdfs.shape[:-2]
+    c_i = cdfs.astype(jnp.int32)
+    sent = (jnp.int32(1) << scale_bits.astype(jnp.int32))[..., None]
+    coarse = jnp.concatenate([c_i[..., ::W32], sent], axis=-1)
+    full = c_i.reshape(lead + (ca, alphabet // W32, W32))
+    return {
+        "cdf_hi": (full >> 7).astype(jnp.bfloat16),
+        "cdf_lo": (full & 127).astype(jnp.bfloat16),
+        "coarse_hi": (coarse >> 7).astype(jnp.bfloat16),
+        "coarse_lo": (coarse & 127).astype(jnp.bfloat16),
+        "bits": scale_bits.astype(jnp.bfloat16),
+    }
+
+
+def distribute_words(x_new, need, stream, gptr):
+    """Shared renorm-word distribution: read the contiguous block of
+    words this step consumes (one dynamic_slice at gptr) and route word
+    rank pos[lane] to each needing lane. Word order within the step is
+    channel-major, lane-minor (schedule.build_stream_perm).
+
+    Returns (x_renormed, gptr'). CALLER CONTRACT: stream zero-padded so
+    gptr + C*NL never exceeds its length; x_new already holds the
+    pre-renorm state; `need` must already be masked by lane activity."""
+    C, NL = x_new.shape
+    blk = C * NL
+    nf = need.reshape(-1).astype(jnp.int32)
+    pos = jnp.cumsum(nf) - 1
+    block = jax.lax.dynamic_slice(stream, (gptr,), (blk,))
+    if blk <= 2048:
+        # one-hot MXU contraction over exact-in-bf16 byte planes (see
+        # decode_step_merged docstring for the bf16-truncation hazard
+        # that forces the byte split)
+        block_bytes = jnp.stack(
+            [block & jnp.uint16(0xFF), block >> jnp.uint16(8)], axis=-1
+        ).astype(jnp.bfloat16)  # [blk, 2], values <= 255 exact in bf16
+        ohp = jnp.asarray(
+            (pos[:, None] == jnp.arange(blk, dtype=jnp.int32))
+            & (nf[:, None] > 0),
+            dtype=jnp.bfloat16,
+        )  # [C*NL, blk]
+        wb = jnp.einsum(
+            "nb,bk->nk", ohp, block_bytes,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.uint32)
+        w = (wb[..., 0] | (wb[..., 1] << jnp.uint32(8))).reshape(C, NL)
+    else:
+        w = block[jnp.clip(pos, 0, blk - 1)].reshape(C, NL).astype(
+            jnp.uint32
+        )
+    x_new = jnp.where(need, (x_new << jnp.uint32(WORD_BITS)) | w, x_new)
+    return x_new, gptr + jnp.sum(nf)
+
+
+def decode_step_comparefree(
+    x: jnp.ndarray,  # [C, NL] uint32 lane states
+    gptr: jnp.ndarray,  # scalar int32 global stream pointer
+    oh_bkt: jnp.ndarray,  # [C, NL, CA] bf16 one-hot context buckets
+    active: jnp.ndarray,  # [NL] bool (static lane-activity of the step)
+    stream: jnp.ndarray,  # [W] uint16, zero-padded >= C*NL past the end
+    tabs: dict,  # prepare_compare_tables output for this image
+):
+    """One gather-free decode step for all channels x lanes (see
+    prepare_compare_tables). Returns (sym [C, NL] i32, x', gptr')."""
+    C, NL = x.shape
+    _F32 = jnp.float32
+
+    def sel(plane, spec):
+        return jnp.einsum(
+            spec, oh_bkt, plane, preferred_element_type=_F32
+        )
+
+    bi = sel(tabs["bits"], "cnk,ck->cn").astype(jnp.uint32)
+    mask = (jnp.uint32(1) << bi) - jnp.uint32(1)
+    slot = (x & mask).astype(jnp.int32)  # [C, NL] < 2**14
+
+    coarse = (
+        sel(tabs["coarse_hi"], "cnk,ckj->cnj") * 128.0
+        + sel(tabs["coarse_lo"], "cnk,ckj->cnj")
+    ).astype(jnp.int32)  # [C, NL, 33]
+    le_c = coarse <= slot[..., None]
+    sym_hi = jnp.clip(jnp.sum(le_c, axis=-1) - 1, 0, W32 - 1)
+    nxt_c = jnp.min(
+        jnp.where(le_c, jnp.int32(1 << 30), coarse), axis=-1
+    )
+    oh_hi = jnp.asarray(
+        sym_hi[..., None] == jnp.arange(W32, dtype=jnp.int32),
+        dtype=jnp.bfloat16,
+    )  # [C, NL, 32]
+    Wt = oh_bkt[..., :, None] * oh_hi[..., None, :]  # [C, NL, CA, 32]
+    win = (
+        jnp.einsum(
+            "cnkj,ckja->cna", Wt, tabs["cdf_hi"],
+            preferred_element_type=_F32,
+        )
+        * 128.0
+        + jnp.einsum(
+            "cnkj,ckja->cna", Wt, tabs["cdf_lo"],
+            preferred_element_type=_F32,
+        )
+    ).astype(jnp.int32)  # [C, NL, 32]
+    le_f = win <= slot[..., None]
+    sym_lo = jnp.sum(le_f, axis=-1) - 1  # >= 0: win[...,0] == coarse sel
+    cdf_sel = jnp.max(jnp.where(le_f, win, 0), axis=-1)
+    nxt_f = jnp.min(jnp.where(le_f, jnp.int32(1 << 30), win), axis=-1)
+    nxt = jnp.minimum(jnp.minimum(nxt_f, nxt_c), jnp.int32(1 << 14))
+    freq = (nxt - cdf_sel).astype(jnp.uint32)
+    sym = sym_hi * W32 + sym_lo
+    x_new = freq * (x >> bi) + slot.astype(jnp.uint32) - cdf_sel.astype(
+        jnp.uint32
+    )
+    act = jnp.broadcast_to(active[None], (C, NL))
+    need = act & (x_new < jnp.uint32(RANS_L))
+    x_new, gptr = distribute_words(x_new, need, stream, gptr)
+    x_next = jnp.where(act, x_new, x)
+    return sym, x_next, gptr
+
+
 def decode_step_stream(
     x: jnp.ndarray,  # [C, NL] uint32 lane states
     gptr: jnp.ndarray,  # scalar int32 global stream pointer
