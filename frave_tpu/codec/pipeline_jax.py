@@ -296,9 +296,13 @@ class CodecProgram:
         group_ranges = self._group_ranges
         from ..fractal.schedule import get_stream_perm
 
-        self._perm = put(
-            get_stream_perm(h, w, nl, depth, self.mode, C).astype(np.int32)
-        )
+        # decode rank of each row-major [R, C, NL] grid slot —
+        # stream_compact's sort key (round 3); padding slots (R*NL
+        # rounds K up) rank past every real symbol
+        _pm = get_stream_perm(h, w, nl, depth, self.mode, C)
+        _rank = np.full(R * C * nl, 1 << 30, dtype=np.int32)
+        _rank[_pm] = np.arange(_pm.shape[0], dtype=np.int32)
+        self._inv_perm = put(_rank)
         st_coef = steps.step_coef.astype(np.int32)
         st_active = st_coef >= 0
         # ---- decode segments (parallel mode): one entry per schedule
@@ -346,7 +350,7 @@ class CodecProgram:
         def encode_fused(
             pixels, tid, qdiv, vp_ovr, wp_ovr, use_ovr, use_wovr,
             leaf_safe, leaf_mask, sc, snbr_safe, slf, sgrp,
-            sfbkt, lap, glog2, gzero, perm
+            sfbkt, lap, glog2, gzero, inv_perm
         ):
             # [HW, C] (host-contiguous view, no host transpose) -> [C, HW]
             # int32 coding planes; the channel transform applies ON DEVICE
@@ -481,6 +485,12 @@ class CodecProgram:
                 + buckets * ALPHABET_SIZE
                 + jnp.clip(symbols, 0, ALPHABET_SIZE - 1)
             )
+            # histogram scatter-add. Round-3 alternatives measured WORSE
+            # on this TPU: pre-sorted ids + indices_are_sorted (64ms
+            # device vs 59.5), searchsorted 'scan' bin-edge counting
+            # (162ms: per-iteration gathers), searchsorted 'sort' (65ms).
+            # The plain random scatter runs ~8.5ns/element and is the
+            # remaining encode hot spot (~36ms of ~60ms device at B=64).
             hist = (
                 jnp.zeros(C * CONTEXT_AMOUNT * ALPHABET_SIZE, jnp.int32)
                 .at[ids.reshape(-1)]
@@ -516,7 +526,7 @@ class CodecProgram:
             )  # [C, NL] u32, [R, C, NL] u16, [R, C, NL] bool
 
             # --- global-stream compaction (decode order via static perm)
-            stream, total = stream_compact(words, flags, perm)
+            stream, total = stream_compact(words, flags, inv_perm, kc=KC)
             if KC % 2:
                 stream = jnp.concatenate(
                     [stream, jnp.zeros(1, jnp.uint16)]
@@ -923,7 +933,7 @@ class CodecProgram:
             self._enc_jit[B] = fn
         return fn(
             pixels_b, tids, qdiv, vp_ovr, wp_ovr, use_v, use_w,
-            *self._enc_args, self._perm,
+            *self._enc_args, self._inv_perm,
         )
 
     def decode_exec(

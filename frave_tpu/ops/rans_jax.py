@@ -66,59 +66,91 @@ def encode_scan(
     """
     lanes_shape = sym_grid.shape[1:]
     R = sym_grid.shape[0]
+    ca = CONTEXT_AMOUNT
     x0 = jnp.full(lanes_shape, RANS_L, dtype=jnp.uint32)
 
-    # Encode knows every (bucket, symbol) up front, so ALL table lookups
-    # happen here as ONE bulk gather over the whole [R, ..., NL] grid
-    # instead of per-step gathers inside the scan. Batched-index gathers
-    # cost ~20ns/lookup on the target TPU regardless of table size
-    # (measured round 2), so the three per-symbol table reads pack into
-    # ONE u32 word: cdf (< 2^14) in bits 0..13, scale_bits-8 (<= 6) in
-    # bits 14..16, freq-1 (< 2^14) in bits 17..30 — 31 bits total. The
-    # pack itself is one elementwise pass over the [..., CA, 1024]
-    # tables (~free next to a [..., K] gather).
-    bits_b = jnp.broadcast_to(
-        scale_bits.astype(jnp.uint32)[..., None], freqs.shape
+    # Per-symbol (freq, cdf, bits) via IN-SCAN one-hot window selection
+    # instead of a bulk [R, ..., NL] table gather: that gather was the
+    # single hottest op of the whole encode (54ms of a 139ms device
+    # profile at B=64 256^2 — ~13ns per random lookup), while bf16
+    # one-hot MXU contractions measure ~free (benchmarks/
+    # op_cost_probe.py). The per-(bucket, sym>>5) window of 33
+    # *overlapping* cdf entries (entry 1024 = 2**bits sentinel) yields
+    # cdf[s] and freq[s] = cdf[s+1] - cdf[s] — exact for every coded
+    # symbol, whose freq is nonzero by construction. bf16 exactness: see
+    # prepare_compare_tables.
+    cdf_ext = jnp.concatenate(
+        [
+            cdfs.astype(jnp.int32),
+            (jnp.int32(1) << scale_bits.astype(jnp.int32))[..., None],
+        ],
+        axis=-1,
+    )  # [..., CA, 1025]
+    # overlapping windows win[..., k, j, a] = cdf_ext[..., k, 32j + a],
+    # a in [0, 33) — built from 32 static slices (contiguous copies, no
+    # gather)
+    win = jnp.stack(
+        [cdf_ext[..., W32 * j : W32 * j + W32 + 1] for j in range(W32)],
+        axis=-2,
     )
-    packed = (
-        ((freqs.astype(jnp.uint32) - jnp.uint32(1)) << jnp.uint32(17))
-        | ((bits_b - jnp.uint32(8)) << jnp.uint32(14))
-        | cdfs.astype(jnp.uint32)
-    )
+    win_hi = (win >> 7).astype(jnp.bfloat16)  # [..., CA, 32, 33]
+    win_lo = (win & 127).astype(jnp.bfloat16)
+    nW = ca * W32
+    win_hi2 = win_hi.reshape(cdfs.shape[:-2] + (nW, W32 + 1))
+    win_lo2 = win_lo.reshape(cdfs.shape[:-2] + (nW, W32 + 1))
+    bits_bf = scale_bits.astype(jnp.bfloat16)  # [..., CA]
 
     sym_f = jnp.clip(sym_grid, 0, 1023).astype(jnp.int32)
-    bkt_f = jnp.clip(bkt_grid, 0, CONTEXT_AMOUNT - 1).astype(jnp.int32)
-    # flatten R into the lane axis so the table vmap pattern matches the
-    # per-channel leading dims, then restore
-    sym_c = jnp.moveaxis(sym_f, 0, -2).reshape(lanes_shape[:-1] + (-1,))
-    bkt_c = jnp.moveaxis(bkt_f, 0, -2).reshape(lanes_shape[:-1] + (-1,))
+    bkt_f = jnp.clip(bkt_grid, 0, ca - 1).astype(jnp.int32)
 
-    def g1(tab, bk, sm):
-        return tab[bk, sm]
-
-    for _ in range(len(lanes_shape) - 1):
-        g1 = jax.vmap(g1)
-    g_all = g1(packed, bkt_c, sym_c)
-
-    def ungrid(a):
-        return jnp.moveaxis(
-            a.reshape(lanes_shape[:-1] + (R, lanes_shape[-1])), -2, 0
-        )
-
-    valid = valid_grid
-    g_grid = ungrid(g_all)
-    fr_g = jnp.where(
-        valid, (g_grid >> jnp.uint32(17)) + jnp.uint32(1), jnp.uint32(1)
-    )
-    cd_g = jnp.where(valid, g_grid & jnp.uint32(0x3FFF), jnp.uint32(0))
-    bi_g = jnp.where(
-        valid,
-        ((g_grid >> jnp.uint32(14)) & jnp.uint32(7)) + jnp.uint32(8),
-        jnp.uint32(8),
-    )
+    iota_w = jnp.arange(nW, dtype=jnp.int32)
+    iota_ca = jnp.arange(ca, dtype=jnp.int32)
+    iota_lo = jnp.arange(W32 + 1, dtype=jnp.int32)
 
     def step(x, row):
-        fr, cd, bi, valid = row
+        sym, bkt, valid = row
+        combo = bkt * W32 + (sym >> 5)  # [..., NL]
+        ohc = jnp.asarray(
+            combo[..., None] == iota_w, dtype=jnp.bfloat16
+        )  # [..., NL, CA*32]
+        ohb = jnp.asarray(
+            bkt[..., None] == iota_ca, dtype=jnp.bfloat16
+        )
+        sym_lo = sym & 31
+        oh_lo = jnp.asarray(
+            sym_lo[..., None] == iota_lo, dtype=jnp.bfloat16
+        )  # [..., NL, 33]
+        oh_lo1 = jnp.asarray(
+            (sym_lo + 1)[..., None] == iota_lo, dtype=jnp.bfloat16
+        )
+        cdw = (
+            jnp.einsum(
+                "...nw,...wa->...na", ohc, win_hi2,
+                preferred_element_type=jnp.float32,
+            )
+            * 128.0
+            + jnp.einsum(
+                "...nw,...wa->...na", ohc, win_lo2,
+                preferred_element_type=jnp.float32,
+            )
+        )  # [..., NL, 33] f32 exact (<= 2**14)
+        cd_f = jnp.einsum(
+            "...na,...na->...n", cdw, oh_lo.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        nx_f = jnp.einsum(
+            "...na,...na->...n", cdw, oh_lo1.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        bi_f = jnp.einsum(
+            "...nk,...k->...n", ohb, bits_bf,
+            preferred_element_type=jnp.float32,
+        )
+        cd = jnp.where(valid, cd_f.astype(jnp.uint32), jnp.uint32(0))
+        fr = jnp.where(
+            valid, (nx_f - cd_f).astype(jnp.uint32), jnp.uint32(1)
+        )
+        bi = jnp.where(valid, bi_f.astype(jnp.uint32), jnp.uint32(8))
         # renorm: emit low 16 bits iff x >= fr << (32 - bi), computed
         # overflow-free as (x >> (32 - bi)) >= fr
         emit = valid & ((x >> (jnp.uint32(32) - bi)) >= fr)
@@ -131,7 +163,7 @@ def encode_scan(
         return x_next, (word, emit)
 
     final_x, (words, flags) = jax.lax.scan(
-        step, x0, (fr_g, cd_g, bi_g, valid_grid), reverse=True,
+        step, x0, (sym_f, bkt_f, valid_grid), reverse=True,
         unroll=min(SCAN_UNROLL, R),
     )
     return final_x, words, flags
@@ -140,26 +172,35 @@ def encode_scan(
 def stream_compact(
     words: jnp.ndarray,  # [R, C, NL] uint16 emission grid
     flags: jnp.ndarray,  # [R, C, NL] bool
-    perm: jnp.ndarray,  # [K * C] int32 (schedule.build_stream_perm)
+    rank: jnp.ndarray,  # [R * C * NL] int32 decode rank of each grid
+    # slot (rank[perm[j]] = j for schedule.build_stream_perm's perm;
+    # padding slots carry a rank past every real symbol)
+    kc: int | None = None,  # real stream capacity K * C (default: grid)
 ):
-    """Device-side global-stream compaction: reorder emissions into decode
-    order by the static perm, then pack flagged words densely.
-    Returns (stream [K*C] uint16 zero-padded tail, total int32)."""
-    kc = perm.shape[0]
-    # ONE perm gather on a packed (flag << 16) | word plane instead of
-    # two (batched-index gathers carry a fixed per-op cost on the target
-    # TPU regardless of size — see decode_step_merged)
-    packed = words.astype(jnp.int32) | (flags.astype(jnp.int32) << 16)
-    pflat = packed.reshape(-1)[perm]
-    wflat = (pflat & 0xFFFF).astype(jnp.uint16)
-    fflat = pflat >= (1 << 16)
-    fi = fflat.astype(jnp.int32)
-    pos = jnp.cumsum(fi) - 1
-    idx = jnp.where(fflat, pos, kc)
-    stream = (
-        jnp.zeros(kc + 1, jnp.uint16).at[idx].set(wflat, mode="drop")[:kc]
+    """Device-side global-stream compaction: ONE key sort both reorders
+    emissions into decode order and packs flagged words densely
+    (round 3; previously a perm gather + cumsum scatter, which profiled
+    at ~28ms/batch against ~7ms for an equal-size sort — random-access
+    scatters are ~4x slower per element than sort's streaming passes on
+    this TPU). Key = decode rank for flagged slots, +inf-like for
+    unflagged; ranks are distinct, so the first `total` sorted values
+    are the stream. Returns (stream [kc] uint16 zero-padded tail,
+    total int32)."""
+    big = jnp.int32(1 << 30)
+    wflat = words.reshape(-1)
+    fflat = flags.reshape(-1)
+    if kc is None:
+        kc = wflat.shape[0]
+    keys = jnp.where(fflat, rank, big)
+    _, stream = jax.lax.sort(
+        (keys, wflat), dimension=0, is_stable=False, num_keys=1
     )
-    return stream, jnp.sum(fi)
+    stream = stream[:kc]
+    total = jnp.sum(fflat.astype(jnp.int32))
+    # zero the unflagged tail (sorted there, holds stale words)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (kc,), 0)
+    stream = jnp.where(iota < total, stream, jnp.uint16(0))
+    return stream, total
 
 
 def build_merged_decode_table(

@@ -427,9 +427,10 @@ class ShardedEncoder:
         lap_dev = jnp.asarray(_LAPLACE_GRID_ROWS.astype(np.uint32))
         glog2_dev = jnp.asarray(_GRID_LOG2)
         gzero_dev = jnp.asarray((_LAPLACE_GRID_ROWS == 0).astype(np.float32))
-        perm_dev = jnp.asarray(
-            get_stream_perm(h, w, nl, depth, self.mode, C).astype(np.int32)
-        )
+        _pm = get_stream_perm(h, w, nl, depth, self.mode, C)
+        _rank = np.full(self.rows * C * nl, 1 << 30, dtype=np.int32)
+        _rank[_pm] = np.arange(_pm.shape[0], dtype=np.int32)
+        inv_perm_dev = jnp.asarray(_rank)
 
         def finalize_tables(hist):
             # hist [B, C, CA, 1024] -> device tables for entropy + wire;
@@ -445,7 +446,7 @@ class ShardedEncoder:
             # single image: states [C, NL], words/flags [R, C, NL],
             # bits [C, CA], off_mask [C, CA, 1024] -> packed i32 vector
             # (same layout as pipeline_jax.encode_fused:319-332)
-            stream, total = stream_compact(words, flags, perm_dev)
+            stream, total = stream_compact(words, flags, inv_perm_dev, kc=KC)
             if KC % 2:
                 stream = jnp.concatenate([stream, jnp.zeros(1, jnp.uint16)])
             spk = stream[0::2].astype(jnp.uint32) | (
