@@ -873,6 +873,13 @@ class CodecProgram:
         self._decode_fused = decode_fused_seg if use_seg else decode_fused
         self._enc_jit: Dict[int, callable] = {}
         self._dec_jit: Dict[int, callable] = {}
+        # jit caches + fetch_guess are touched from the round-trip
+        # pipeline's fetch worker threads (roundtrip_pipeline_jax_stream)
+        # as well as the main thread; the lock makes the get-or-create
+        # races explicit rather than GIL-accidental. fetch_guess itself
+        # is a single int store (GIL-atomic, monotone-adaptive) — racing
+        # writers only cost one extra fetch, never correctness.
+        self._jit_lock = threading.Lock()
         # learned stream-size guess (i32 words) for the single speculative
         # fetch in _encode_finish; device->host round trips cost ~50ms
         # latency each in this environment, so folding the header fetch
@@ -920,17 +927,18 @@ class CodecProgram:
             wp_ovr = jnp.asarray(exp(wp_np))
             use_v = jnp.asarray(True)
             use_w = jnp.asarray(bool(use_w_flag))
-        fn = self._enc_jit.get(B)
-        if fn is None:
-            # qdiv + overrides(4) + schedule tensors + perm
-            n_static = len(self._enc_args) + 6
-            fn = jax.jit(
-                jax.vmap(
-                    self._encode_fused,
-                    in_axes=(0, 0) + (None,) * n_static,
+        with self._jit_lock:
+            fn = self._enc_jit.get(B)
+            if fn is None:
+                # qdiv + overrides(4) + schedule tensors + perm
+                n_static = len(self._enc_args) + 6
+                fn = jax.jit(
+                    jax.vmap(
+                        self._encode_fused,
+                        in_axes=(0, 0) + (None,) * n_static,
+                    )
                 )
-            )
-            self._enc_jit[B] = fn
+                self._enc_jit[B] = fn
         return fn(
             pixels_b, tids, qdiv, vp_ovr, wp_ovr, use_v, use_w,
             *self._enc_args, self._inv_perm,
@@ -954,16 +962,17 @@ class CodecProgram:
             tids = jnp.zeros((B,), jnp.int32)
         W = stream.shape[-1]
         key = (B, W, lut_bits)
-        fn = self._dec_jit.get(key)
-        if fn is None:
-            dec = self._decode_fused
-            fn = jax.jit(
-                jax.vmap(
-                    lambda *a: dec(*a, lut_bits=lut_bits),
-                    in_axes=(0,) * 9 + (None,) * 10,
+        with self._jit_lock:
+            fn = self._dec_jit.get(key)
+            if fn is None:
+                dec = self._decode_fused
+                fn = jax.jit(
+                    jax.vmap(
+                        lambda *a: dec(*a, lut_bits=lut_bits),
+                        in_axes=(0,) * 9 + (None,) * 10,
+                    )
                 )
-            )
-            self._dec_jit[key] = fn
+                self._dec_jit[key] = fn
         return fn(
             states, stream, wire_bits, offpk, scales, vp, wp, qdiv, tids,
             self._lap, *self._dec_args,

@@ -32,14 +32,18 @@ def test_truncation_all_prefixes_error_cleanly(blob):
         pytest.fail(f"truncated container (cut={cut}) parsed unexpectedly")
 
 
-def test_bit_flips_decode_without_crash(blob):
+@pytest.mark.parametrize("backend", ["numpy", "jax"])
+def test_bit_flips_decode_without_crash(blob, backend):
     """Every single-bit corruption must end in exactly one of two clean
     outcomes: a correctly-shaped (garbage) image, or a typed rejection.
-    Any other exception type is a decoder crash and fails the test."""
+    Any other exception type is a decoder crash and fails the test.
+    Runs on BOTH backends: the jax scan path's clamped gather /
+    dynamic_slice contracts are exactly where garbage rANS states would
+    bite (round-2 verdict gap)."""
     data, arr = blob
-    dec = FRIDecoder(backend="numpy")
+    dec = FRIDecoder(backend=backend)
     rng = np.random.default_rng(0)
-    trials = 24
+    trials = 24 if backend == "numpy" else 12
     decoded = rejected = 0
     for t in range(trials):
         b = bytearray(data)
