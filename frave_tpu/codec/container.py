@@ -51,7 +51,7 @@ MAGIC = b"frif"
 VERSION = 9
 _MIN_VERSION = 7
 _MAX_TRANSFORM = 3  # codec/channel_transform.py T_* ids
-_MODES = ("parallel", "parity")  # wire encodings 0, 1
+_MODES = ("parallel", "parity", "grid")  # wire encodings 0, 1, 2
 MARKER_PRD = 0xFFBB
 MARKER_EHD = 0xFFB2
 MARKER_STT = 0xFFB5  # per-channel lane states

@@ -303,6 +303,16 @@ class CodecProgram:
         _rank = np.full(R * C * nl, 1 << 30, dtype=np.int32)
         _rank[_pm] = np.arange(_pm.shape[0], dtype=np.int32)
         self._inv_perm = put(_rank)
+        # grid mode: schedule symbol k lives at padded-grid slot
+        # row*NL + lane instead of the dense k (fractal/lattice.py)
+        if sched.cell_pos is not None:
+            from ..fractal.schedule import grid_row_lane
+
+            _gr, _gl, _gR, _ = grid_row_lane(sched, nl)
+            assert _gR == R
+            self._slotf = put((_gr * nl + _gl).astype(np.int32))
+        else:
+            self._slotf = None
         st_coef = steps.step_coef.astype(np.int32)
         st_active = st_coef >= 0
         # ---- decode segments (parallel mode): one entry per schedule
@@ -507,11 +517,20 @@ class CodecProgram:
 
             # --- rANS encode over [R, C, NL] grids
             pad = R * nl - K
-            def grid(a, fill):
-                a = jnp.concatenate(
-                    [a, jnp.full((C, pad), fill, dtype=a.dtype)], axis=1
-                )
-                return a.reshape(C, R, nl).transpose(1, 0, 2)
+            slotf = self._slotf
+
+            if slotf is not None:  # grid mode: scatter to padded slots
+                def grid(a, fill):
+                    buf = jnp.full((C, R * nl), fill, dtype=a.dtype)
+                    buf = buf.at[:, slotf].set(a, unique_indices=True)
+                    return buf.reshape(C, R, nl).transpose(1, 0, 2)
+            else:
+                def grid(a, fill):
+                    a = jnp.concatenate(
+                        [a, jnp.full((C, pad), fill, dtype=a.dtype)],
+                        axis=1,
+                    )
+                    return a.reshape(C, R, nl).transpose(1, 0, 2)
 
             sym_g = grid(symbols, 0)
             bkt_g = grid(buckets, 0)
@@ -994,6 +1013,9 @@ def get_program(
         sched = get_schedule(height, width, depth, mode=mode)
         steps = get_lane_steps(height, width, nl, depth, mode=mode)
         K = sched.num_symbols
+        # grid mode: the symbol/word grid has one row per step (padded
+        # lattice rasters); dense modes pack K symbols tightly
+        rows = steps.num_steps if steps.rows_are_steps else -(-K // nl)
         p = CodecProgram(
             height=height,
             width=width,
@@ -1003,7 +1025,7 @@ def get_program(
             num_tiles=geo.num_tiles,
             num_symbols=K,
             num_steps=steps.num_steps,
-            rows=-(-K // nl),
+            rows=rows,
             n_slots=geo.num_coef_slots,
             mode=mode,
         )

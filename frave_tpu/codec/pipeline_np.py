@@ -119,9 +119,20 @@ def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedIm
         cdfs = np.stack([c.cdf for c in contexts])
         bits = np.asarray([c.max_freq_bits for c in contexts], dtype=np.int32)
 
-        states, word_grid, flag_grid = encode_lanes(
-            symbols.astype(np.uint32), buckets.astype(np.int32), freqs, cdfs, bits, nl
-        )
+        if sched.cell_pos is not None:  # grid mode: lanes = padded grid
+            from ..fractal.schedule import grid_row_lane
+
+            grow, glane, gR, _ = grid_row_lane(sched, nl)
+            states, word_grid, flag_grid = encode_lanes(
+                symbols.astype(np.uint32), buckets.astype(np.int32),
+                freqs, cdfs, bits, nl,
+                slot_flat=grow * nl + glane, num_rows=gR,
+            )
+        else:
+            states, word_grid, flag_grid = encode_lanes(
+                symbols.astype(np.uint32), buckets.astype(np.int32),
+                freqs, cdfs, bits, nl,
+            )
         word_grids.append(word_grid)
         flag_grids.append(flag_grid)
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import threading
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -97,6 +97,16 @@ class WavefrontSchedule:
     sched_fbkt: np.ndarray  # [K] int8 fixed context bucket, -1 = computed
     wave_sizes: np.ndarray  # [num_waves] int32, sums to K
     max_wave: int
+    # mode="grid" (round 3): symbols laid out as dense lattice grids
+    # (fractal/lattice.py) — the rANS lane layout IS the padded grid
+    # raster, so the device converts symbols <-> lanes by reshape alone.
+    # wave_cells[w] = flat cell count of wave w's grid region (0 for
+    # dense modes); cell_pos[k] = flat cell of symbol k in its wave's
+    # region. Lane/row assignment then depends only on NL:
+    # row = base_row(wave) + cell // NL, lane = cell % NL, where every
+    # wave's region is padded to a whole number of rows.
+    wave_cells: Optional[np.ndarray] = None  # [num_waves] int64
+    cell_pos: Optional[np.ndarray] = None  # [K] int64
 
     def lane_of(self, nl: int) -> np.ndarray:
         return (np.arange(self.num_symbols, dtype=np.int64) % nl).astype(np.int32)
@@ -118,6 +128,150 @@ class WavefrontSchedule:
         )
 
 
+def _build_schedule_grid(geo: FractalGeometry) -> WavefrontSchedule:
+    """mode="grid" (round 3): the lattice-grid layout of fractal/
+    lattice.py as a wavefront schedule. Same context-model *shape* as
+    mode="parallel" (context taps = nbr_par parent slots, one wave per
+    HF level, two-phase DC + root-HF over the tile lattice) with two
+    deliberate differences:
+
+      * symbol order within a wave is the RASTER ORDER of the wave's
+        dense lattice grid (cell (a, b) -> flat a*B + b), and the rANS
+        lane layout is that padded raster itself — on device, symbols
+        <-> lanes is a reshape, context taps are grid shifts, and the
+        decode scatter disappears (see pipeline_jax grid path);
+      * the DC phase-A/B split is the spatial checkerboard
+        (a + b) % 2 on the tile grid instead of parallel mode's
+        arbitrary canonical-index parity — phase-B tiles then always
+        have their A-neighbours adjacent on the grid.
+
+    Schedule-driven backends (numpy oracle, sharded decoders) consume
+    this like any other mode; only lane/row assignment generalizes via
+    (wave_cells, cell_pos)."""
+    from ..entropy.tables import CONTEXT_AMOUNT
+    from .lattice import get_lattice_grids
+
+    lg = get_lattice_grids(geo.height, geo.width, geo.depth)
+    n = geo.nodes_per_tile
+    depth = geo.depth
+    flat_mask = geo.coef_mask.reshape(-1)
+
+    sched_coef: List[np.ndarray] = []
+    sched_nbr: List[np.ndarray] = []
+    sched_lf: List[np.ndarray] = []
+    sched_group: List[np.ndarray] = []
+    sched_fbkt: List[np.ndarray] = []
+    wave_sizes: List[int] = []
+    wave_cells: List[int] = []
+    cell_pos: List[np.ndarray] = []
+    legacy_of_fine: List[int] = []
+
+    def fine_group(size: int, legacy: int) -> np.ndarray:
+        fid = len(legacy_of_fine)
+        legacy_of_fine.append(legacy)
+        return np.full(size, fid, dtype=np.int8)
+
+    tg = lg.grids[0]
+    At, Bt = tg.shape
+    ta, tb = np.nonzero(tg.occ)
+    order = np.argsort(ta * Bt + tb, kind="stable")
+    ta, tb = ta[order], tb[order]
+    tslot = tg.slot[ta, tb]  # t * n (DC slots), raster order
+    apar = ((ta + tb) % 2) == 0
+
+    # tile-grid neighbour slots per tap dir (DC slot of the tile at
+    # cell + tap_shift, -1 if off-grid/unoccupied)
+    def tile_taps(restrict_a: bool) -> np.ndarray:
+        out = np.full((ta.shape[0], 6), -1, dtype=np.int64)
+        for k in range(6):
+            za = ta + tg.tap_shift[k, 0]
+            zb = tb + tg.tap_shift[k, 1]
+            inb = (za >= 0) & (za < At) & (zb >= 0) & (zb < Bt)
+            zs = np.full(ta.shape[0], -1, dtype=np.int64)
+            zs[inb] = tg.slot[za[inb], zb[inb]]
+            if restrict_a:
+                zpar = ((za + zb) % 2) == 0
+                zs = np.where(zpar, zs, -1)
+            out[:, k] = zs
+        return out
+
+    tcell = ta * Bt + tb
+
+    # wave 0: phase A — context-free, widest bucket
+    sel = apar
+    sched_coef.append(tslot[sel])
+    sched_nbr.append(np.full((int(sel.sum()), 6), -1, dtype=np.int64))
+    sched_lf.append(np.zeros(int(sel.sum()), dtype=bool))
+    sched_group.append(fine_group(int(sel.sum()), 2))
+    sched_fbkt.append(np.full(int(sel.sum()), CONTEXT_AMOUNT - 1, dtype=np.int8))
+    wave_sizes.append(int(sel.sum()))
+    wave_cells.append(At * Bt)
+    cell_pos.append(tcell[sel])
+
+    # wave 1: phase B — predicted from decoded A-neighbour DCs
+    sel = ~apar
+    taps = tile_taps(restrict_a=True)[sel]
+    sched_coef.append(tslot[sel])
+    sched_nbr.append(taps)
+    sched_lf.append(np.zeros(int(sel.sum()), dtype=bool))
+    sched_group.append(fine_group(int(sel.sum()), 2))
+    sched_fbkt.append(np.full(int(sel.sum()), -1, dtype=np.int8))
+    wave_sizes.append(int(sel.sum()))
+    wave_cells.append(At * Bt)
+    cell_pos.append(tcell[sel])
+
+    # wave 2: root-HF — all tiles, taps = neighbour DCs
+    taps = tile_taps(restrict_a=False)
+    sched_coef.append(tslot + 1)
+    sched_nbr.append(taps)
+    sched_lf.append(np.zeros(ta.shape[0], dtype=bool))
+    sched_group.append(fine_group(ta.shape[0], 2))
+    sched_fbkt.append(np.full(ta.shape[0], -1, dtype=np.int8))
+    wave_sizes.append(int(ta.shape[0]))
+    wave_cells.append(At * Bt)
+    cell_pos.append(tcell)
+
+    # HF levels 1..depth-1: raster order of each level grid, taps from
+    # the reference-exact nbr_par tensor (the dense device path
+    # reproduces it via grid shifts + the lattice fixup list;
+    # differentially tested)
+    for L in range(1, depth):
+        g = lg.grids[L]
+        A, B = g.shape
+        ga, gb = np.nonzero(g.occ)
+        o = np.argsort(ga * B + gb, kind="stable")
+        ga, gb = ga[o], gb[o]
+        slots = g.slot[ga, gb]
+        present = flat_mask[slots]
+        ga, gb, slots = ga[present], gb[present], slots[present]
+        nL = slots.shape[0]
+        group = 0 if L == depth - 1 else (1 if L == depth - 2 else 2)
+        sched_coef.append(slots)
+        sched_nbr.append(geo.nbr_par[slots].astype(np.int64))
+        sched_lf.append(np.zeros(nL, dtype=bool))
+        sched_group.append(fine_group(nL, group))
+        sched_fbkt.append(np.full(nL, -1, dtype=np.int8))
+        wave_sizes.append(nL)
+        wave_cells.append(A * B)
+        cell_pos.append(ga * B + gb)
+
+    coef = np.concatenate(sched_coef)
+    return WavefrontSchedule(
+        num_symbols=int(coef.shape[0]),
+        sched_coef=coef.astype(np.int32),
+        sched_nbr=np.concatenate(sched_nbr, axis=0).astype(np.int32),
+        sched_lf=np.concatenate(sched_lf),
+        sched_group=np.concatenate(sched_group),
+        legacy_of_fine=np.asarray(legacy_of_fine, dtype=np.int8),
+        num_fine=len(legacy_of_fine),
+        sched_fbkt=np.concatenate(sched_fbkt).astype(np.int8),
+        wave_sizes=np.asarray(wave_sizes, dtype=np.int32),
+        max_wave=len(wave_sizes),
+        wave_cells=np.asarray(wave_cells, dtype=np.int64),
+        cell_pos=np.concatenate(cell_pos).astype(np.int64),
+    )
+
+
 def build_schedule(geo: FractalGeometry, mode: str = "parallel") -> WavefrontSchedule:
     """mode="parity": the reference's context model — 3 same-level causal
     neighbour taps {left, up-left, up-right} + 3 parent-resolution taps
@@ -132,6 +286,8 @@ def build_schedule(geo: FractalGeometry, mode: str = "parallel") -> WavefrontSch
     six neighbour tiles' already-decoded DC values (learned 6-tap
     predictor, group 2).
     """
+    if mode == "grid":
+        return _build_schedule_grid(geo)
     n = geo.nodes_per_tile
     depth = geo.depth
     T = geo.num_tiles
@@ -309,9 +465,69 @@ class LaneSteps:
     step_group: np.ndarray  # [S, NL] int8
     step_fbkt: np.ndarray  # [S, NL] int8 fixed bucket or -1
     step_wave: np.ndarray  # [S] int32 wave id of each step
+    # grid mode: step s IS row s of the [R, NL] symbol/word grid (every
+    # padded-grid row is one step); dense modes pack waves tightly so a
+    # step may straddle rows and the word row of symbol k is k // NL
+    rows_are_steps: bool = False
+
+
+def _steps_from_slot(
+    sched: WavefrontSchedule,
+    nl: int,
+    step_slot: np.ndarray,
+    wave_of_step: np.ndarray,
+    rows_are_steps: bool,
+) -> LaneSteps:
+    valid = step_slot >= 0
+    safe = np.where(valid, step_slot, 0)
+    step_coef = np.where(valid, sched.sched_coef[safe], -1)
+    step_nbr = np.where(valid[..., None], sched.sched_nbr[safe], -1)
+    step_lf = np.where(valid, sched.sched_lf[safe], False)
+    step_group = np.where(valid, sched.sched_group[safe], 0)
+    step_fbkt = np.where(valid, sched.sched_fbkt[safe], -1)
+    return LaneSteps(
+        nl=nl,
+        num_steps=step_slot.shape[0],
+        step_slot=step_slot.astype(np.int32),
+        step_coef=step_coef.astype(np.int32),
+        step_nbr=step_nbr.astype(np.int32),
+        step_lf=step_lf.astype(bool),
+        step_group=step_group.astype(np.int8),
+        step_fbkt=step_fbkt.astype(np.int8),
+        step_wave=wave_of_step.astype(np.int32),
+        rows_are_steps=rows_are_steps,
+    )
+
+
+def grid_row_lane(sched: WavefrontSchedule, nl: int):
+    """Grid mode: (row, lane) of every schedule symbol for lane count nl
+    (row = wave base row + cell // nl, lane = cell % nl; every wave's
+    grid region is padded to whole rows). Also returns total rows."""
+    assert sched.cell_pos is not None
+    rows_per_wave = -(-sched.wave_cells // nl)  # ceil
+    base = np.concatenate([[0], np.cumsum(rows_per_wave)])
+    wave_of_sym = np.repeat(
+        np.arange(sched.max_wave, dtype=np.int64),
+        sched.wave_sizes.astype(np.int64),
+    )
+    row = base[wave_of_sym] + sched.cell_pos // nl
+    lane = sched.cell_pos % nl
+    return row, lane, int(base[-1]), rows_per_wave
+
+
+def _build_lane_steps_grid(sched: WavefrontSchedule, nl: int) -> LaneSteps:
+    row, lane, S, rows_per_wave = grid_row_lane(sched, nl)
+    step_slot = np.full((S, nl), -1, dtype=np.int64)
+    step_slot[row, lane] = np.arange(sched.num_symbols, dtype=np.int64)
+    wave_of_step = np.repeat(
+        np.arange(sched.max_wave, dtype=np.int64), rows_per_wave
+    )
+    return _steps_from_slot(sched, nl, step_slot, wave_of_step, True)
 
 
 def build_lane_steps(sched: WavefrontSchedule, nl: int) -> LaneSteps:
+    if sched.cell_pos is not None:
+        return _build_lane_steps_grid(sched, nl)
     steps: List[Tuple[int, int]] = []  # (k0, len)
     wave_of_step: List[int] = []
     k = 0
@@ -328,23 +544,8 @@ def build_lane_steps(sched: WavefrontSchedule, nl: int) -> LaneSteps:
     for s, (k0, ln) in enumerate(steps):
         ks = np.arange(k0, k0 + ln, dtype=np.int64)
         step_slot[s, ks % nl] = ks
-    valid = step_slot >= 0
-    safe = np.where(valid, step_slot, 0)
-    step_coef = np.where(valid, sched.sched_coef[safe], -1)
-    step_nbr = np.where(valid[..., None], sched.sched_nbr[safe], -1)
-    step_lf = np.where(valid, sched.sched_lf[safe], False)
-    step_group = np.where(valid, sched.sched_group[safe], 0)
-    step_fbkt = np.where(valid, sched.sched_fbkt[safe], -1)
-    return LaneSteps(
-        nl=nl,
-        num_steps=S,
-        step_slot=step_slot.astype(np.int32),
-        step_coef=step_coef.astype(np.int32),
-        step_nbr=step_nbr.astype(np.int32),
-        step_lf=step_lf.astype(bool),
-        step_group=step_group.astype(np.int8),
-        step_fbkt=step_fbkt.astype(np.int8),
-        step_wave=np.asarray(wave_of_step, dtype=np.int32),
+    return _steps_from_slot(
+        sched, nl, step_slot, np.asarray(wave_of_step, dtype=np.int64), False
     )
 
 
@@ -419,9 +620,12 @@ def build_stream_perm(steps: LaneSteps, channels: int) -> np.ndarray:
     valid = steps.step_slot >= 0  # [S, NL]
     s_idx, l_idx = np.nonzero(valid)  # (s, lane)-ordered
     k = steps.step_slot[valid].astype(np.int64)
-    r = k // nl
-    lane = k % nl
-    assert np.array_equal(lane, l_idx)
+    if steps.rows_are_steps:
+        r, lane = s_idx.astype(np.int64), l_idx.astype(np.int64)
+    else:
+        r = k // nl
+        lane = k % nl
+        assert np.array_equal(lane, l_idx)
     C = channels
     K = k.shape[0]
     src = ((r[:, None] * C + np.arange(C)[None, :]) * nl + lane[:, None]).reshape(-1)

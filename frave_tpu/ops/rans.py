@@ -52,15 +52,31 @@ def encode_lanes(
     cdfs: np.ndarray,  # [CA, 1024] uint32
     scale_bits: np.ndarray,  # [CA] int32
     nl: int,
+    slot_flat: np.ndarray | None = None,  # [K] row*NL+lane (grid mode)
+    num_rows: int | None = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (final_states [NL] u32, word_grid [R, NL] u16,
     flag_grid [R, NL] bool). word_grid[r, l] is the word emitted while
-    encoding symbol r*NL+l (valid where flagged)."""
+    encoding symbol r*NL+l (valid where flagged). In grid mode
+    (slot_flat given) symbol k occupies grid slot slot_flat[k] instead
+    of the dense k."""
     K = symbols.shape[0]
-    sym_g = build_symbol_grid(symbols.astype(np.int64), nl)
-    bkt_g = build_symbol_grid(buckets.astype(np.int64), nl)
-    valid_g = build_symbol_grid(np.ones(K, dtype=bool), nl, pad=False)
-    R = sym_g.shape[0]
+    if slot_flat is not None:
+        R = int(num_rows)
+        sym_g = np.zeros(R * nl, dtype=np.int64)
+        bkt_g = np.zeros(R * nl, dtype=np.int64)
+        valid_g = np.zeros(R * nl, dtype=bool)
+        sym_g[slot_flat] = symbols.astype(np.int64)
+        bkt_g[slot_flat] = buckets.astype(np.int64)
+        valid_g[slot_flat] = True
+        sym_g = sym_g.reshape(R, nl)
+        bkt_g = bkt_g.reshape(R, nl)
+        valid_g = valid_g.reshape(R, nl)
+    else:
+        sym_g = build_symbol_grid(symbols.astype(np.int64), nl)
+        bkt_g = build_symbol_grid(buckets.astype(np.int64), nl)
+        valid_g = build_symbol_grid(np.ones(K, dtype=bool), nl, pad=False)
+        R = sym_g.shape[0]
 
     x = np.full(nl, RANS_L, dtype=np.uint64)
     word_grid = np.zeros((R, nl), dtype=np.uint16)
