@@ -104,3 +104,99 @@ def test_grid_mode_photo_rate_sane():
         EncoderOptions(backend="numpy", mode="grid")
     ).encode(img)
     assert len(b_grid) < 1.06 * len(b_par), (len(b_grid), len(b_par))
+
+
+@pytest.mark.parametrize("shape", [(40, 40), (64, 48), (96, 128)])
+def test_wave_plans_dense_taps(shape):
+    """Differential test of the dense (gather-free) tap machinery:
+    for random coefficient values, per-wave parent broadcast + grid
+    shifts + fixups + tap_valid masking must reproduce the exact tap
+    values the schedule's nbr_par index tensors produce."""
+    from frave_tpu.fractal.gridplan import apply_plan
+    from frave_tpu.fractal.lattice import build_wave_plans, get_lattice_grids
+
+    h, w = shape
+    geo = get_geometry(h, w)
+    lg = get_lattice_grids(h, w)
+    plans = build_wave_plans(geo, lg)
+    sched = get_schedule(h, w, mode="grid")
+
+    rng = np.random.default_rng(7)
+    n_slots = geo.num_tiles * geo.nodes_per_tile
+    vals = rng.integers(-255, 256, size=n_slots + 1, dtype=np.int64)
+    vals[n_slots] = 0  # absent-neighbour slot
+
+    def value_grid(slot, occ):
+        g = np.zeros(slot.shape, dtype=np.int64)
+        g[occ] = vals[slot[occ]]
+        return g
+
+    def shift(g, s):
+        A, B = g.shape
+        out = np.zeros_like(g)
+        s0, s1 = int(s[0]), int(s[1])
+        i0, i1 = max(0, -s0), min(A, A - s0)
+        j0, j1 = max(0, -s1), min(B, B - s1)
+        if i1 > i0 and j1 > j0:
+            out[i0:i1, j0:j1] = g[i0 + s0 : i1 + s0, j0 + s1 : j1 + s1]
+        return out
+
+    tg = lg.grids[0]
+    dc_grid = value_grid(tg.slot, tg.occ)
+    root_grid = value_grid(np.where(tg.occ, tg.slot + 1, -1), tg.occ)
+
+    k0 = 0
+    assert len(plans) == sched.max_wave
+    for wp, wsize in zip(plans, sched.wave_sizes.tolist()):
+        cells = sched.cell_pos[k0 : k0 + wsize]
+        truth_nbr = sched.sched_nbr[k0 : k0 + wsize].astype(np.int64)
+        truth_coef = sched.sched_coef[k0 : k0 + wsize].astype(np.int64)
+        k0 += wsize
+
+        # active set + slot grid agree with the schedule
+        A, B = wp.shape
+        assert int(wp.active.sum()) == wsize
+        flat_active = np.nonzero(wp.active.reshape(-1))[0]
+        assert np.array_equal(flat_active, np.sort(cells))
+        order = np.argsort(cells, kind="stable")
+        assert np.array_equal(
+            wp.slot_grid.reshape(-1)[cells], truth_coef
+        )
+
+        if wp.kind == "dcA":
+            assert not wp.tap_valid.any()
+            continue
+        if wp.kind in ("dcB", "root"):
+            pv = dc_grid
+            parent_flat = None
+        else:
+            gp = lg.grids[wp.level - 1]
+            if wp.level == 1:
+                parent_grid = root_grid
+            else:
+                parent_grid = value_grid(gp.slot, gp.occ)
+            parent_flat = parent_grid.reshape(-1)
+            # polyphase broadcast: parent value at each level-L cell
+            pv = np.zeros((A, B), dtype=np.int64)
+            for (r1, r2), _, plan in [
+                (c[:2], None, c[2]) for c in wp.classes
+            ]:
+                pv[r1 :: wp.m, r2 :: wp.m] = apply_plan(
+                    plan, parent_grid, np, fill=0
+                )
+
+        for k in range(6):
+            tap = shift(pv, wp.tap_shift[k])
+            if parent_flat is not None:
+                sel = wp.fix_tap == k
+                tap.reshape(-1)[wp.fix_tgt[sel]] = parent_flat[
+                    wp.fix_src[sel]
+                ]
+            tap = np.where(wp.tap_valid[k], tap, 0)
+            truth = np.where(
+                truth_nbr[:, k] >= 0,
+                vals[np.clip(truth_nbr[:, k], 0, None)],
+                0,
+            )
+            got = tap.reshape(-1)[cells]
+            np.testing.assert_array_equal(got, truth, err_msg=f"wave {wp.wave} tap {k}")
