@@ -73,15 +73,74 @@ def tunnel_health() -> dict:
     }
 
 
-def bench_jax(corpus: np.ndarray, reps: int = 6, batch_size: int = 64) -> float:
-    """Batched encode -> container bytes -> batched decode, verified."""
-    from frave_tpu import EncoderOptions, RasterImage
-    from frave_tpu.codec.pipeline_jax import roundtrip_pipeline_jax_stream
+def _bench_opts():
+    from frave_tpu import EncoderOptions
 
     nl_env = os.environ.get("FRAVE_BENCH_LANES")
-    opts = EncoderOptions(
-        backend="jax", num_lanes=int(nl_env) if nl_env else None
+    return EncoderOptions(
+        backend="jax",
+        num_lanes=int(nl_env) if nl_env else None,
+        mode=os.environ.get("FRAVE_BENCH_MODE", "parallel"),
     )
+
+
+def load_real_corpus(n: int, h: int, w: int) -> np.ndarray | None:
+    """Real-photograph corpus (VERDICT r2 #5): grayscale h x w crops of
+    the rate_report photos (public images shipped in installed
+    packages), augmented by dihedral flips to reach n images. Returns
+    None when no source image is present (zero-egress container)."""
+    paths = [
+        "/opt/venv/lib/python3.12/site-packages/matplotlib/"
+        "mpl-data/sample_data/grace_hopper.jpg",
+        "/opt/venv/lib/python3.12/site-packages/pygame/docs/"
+        "generated/_images/camera_average.jpg",
+        "/opt/venv/lib/python3.12/site-packages/pygame/docs/"
+        "generated/_images/intro_freedom.jpg",
+        "/opt/venv/lib/python3.12/site-packages/pygame/docs/"
+        "generated/_images/intro_blade.jpg",
+    ]
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    crops = []
+    for p in paths:
+        if not os.path.exists(p):
+            continue
+        im = Image.open(p).convert("L")
+        if min(im.size) < max(h, w):
+            s = max(h / im.size[1], w / im.size[0])
+            im = im.resize(
+                (int(np.ceil(im.size[0] * s)), int(np.ceil(im.size[1] * s)))
+            )
+        a = np.asarray(im)
+        for i in range(0, a.shape[0] - h + 1, h):
+            for j in range(0, a.shape[1] - w + 1, w):
+                crops.append(a[i : i + h, j : j + w])
+    if not crops:
+        return None
+    out = []
+    k = 0
+    while len(out) < n:
+        c = crops[k % len(crops)]
+        d = k // len(crops)  # dihedral variant
+        if d & 1:
+            c = c[::-1]
+        if d & 2:
+            c = c[:, ::-1]
+        if d & 4:
+            c = c.T
+        out.append(np.ascontiguousarray(c))
+        k += 1
+    return np.stack(out)[..., None]
+
+
+def bench_jax(corpus: np.ndarray, reps: int = 6, batch_size: int = 64) -> float:
+    """Batched encode -> container bytes -> batched decode, verified."""
+    from frave_tpu import RasterImage
+    from frave_tpu.codec.pipeline_jax import roundtrip_pipeline_jax_stream
+
+    opts = _bench_opts()
     n, h, w, c = corpus.shape
     imgs = [RasterImage.from_array(corpus[i]) for i in range(n)]
 
@@ -104,6 +163,106 @@ def bench_jax(corpus: np.ndarray, reps: int = 6, batch_size: int = 64) -> float:
     for i in range(n):
         np.testing.assert_array_equal(outs[i].data, corpus[i])
     return best
+
+
+def bench_split(corpus: np.ndarray, reps: int = 3, batch_size: int = 64):
+    """Encode-only and decode-only MP/s (VERDICT r2 #2: the north star's
+    literal wording is encode throughput; each direction also moves
+    ~half the tunnel bytes of the round trip). Returns
+    (enc_mp_s, dec_mp_s), lossless-verified."""
+    import time as _t
+
+    from frave_tpu import RasterImage
+    from frave_tpu.codec.container import deserialize, serialize
+    from frave_tpu.codec.pipeline_jax import (
+        decode_pipeline_jax_stream,
+        encode_pipeline_jax_stream,
+    )
+
+    opts = _bench_opts()
+    n, h, w, _ = corpus.shape
+    imgs = [RasterImage.from_array(corpus[i]) for i in range(n)]
+    mp = n * h * w / 1e6
+
+    cis = encode_pipeline_jax_stream(imgs, opts, batch_size)  # warm
+    blobs = [serialize(ci) for ci in cis]
+    enc = 0.0
+    for _ in range(reps):
+        t0 = _t.perf_counter()
+        cis = encode_pipeline_jax_stream(imgs, opts, batch_size)
+        enc = max(enc, mp / (_t.perf_counter() - t0))
+    cis2 = [deserialize(b) for b in blobs]
+    outs = decode_pipeline_jax_stream(cis2, batch_size)  # warm
+    dec = 0.0
+    for _ in range(reps):
+        t0 = _t.perf_counter()
+        outs = decode_pipeline_jax_stream(cis2, batch_size)
+        dec = max(dec, mp / (_t.perf_counter() - t0))
+    for i in range(n):
+        np.testing.assert_array_equal(outs[i].data, corpus[i])
+    return enc, dec
+
+
+def bench_device(corpus: np.ndarray, reps: int = 4, batch_size: int = 64):
+    """Device-compute MP/s: the fused encode/decode programs timed with
+    pre-staged device inputs and blocked outputs — what a non-tunneled
+    chip would deliver (BASELINE.md round-3 tunnel ceilings: the
+    wall-clock round trip at the headline config measures the ~15MB/s
+    tunnel, not the TPU). Returns (enc_mp_s, dec_mp_s)."""
+    import time as _t
+
+    import jax.numpy as jnp
+
+    from frave_tpu import RasterImage
+    from frave_tpu.codec.options import quantization_matrix
+    from frave_tpu.codec.pipeline_jax import (
+        _encode_dispatch,
+        _encode_finish,
+        _qdiv_array,
+        assemble_wire_batch,
+        get_program,
+        pick_lut_bits,
+    )
+    from frave_tpu.fractal.geometry import BASE_FRAC_DEPTH
+
+    opts = _bench_opts()
+    n, h, w, c = corpus.shape
+    b = min(batch_size, n)
+    imgs = [RasterImage.from_array(corpus[i]) for i in range(b)]
+    mp = b * h * w / 1e6
+
+    prog, packed_dev, qm, meta = _encode_dispatch(imgs, opts)
+    cis = _encode_finish(prog, packed_dev, qm, meta, opts)
+    pixels = jnp.asarray(
+        np.stack([im.data.reshape(-1, c) for im in imgs])
+    ).block_until_ready()
+    qdiv = jnp.asarray(_qdiv_array(qm, BASE_FRAC_DEPTH))
+    tids = jnp.asarray(np.asarray(meta[1], dtype=np.int32))
+    enc = 0.0
+    for _ in range(reps):
+        t0 = _t.perf_counter()
+        packed, hist = prog.encode_exec(pixels, qdiv, None, tids)
+        packed.block_until_ready()
+        enc = max(enc, mp / (_t.perf_counter() - t0))
+
+    nl = cis[0].num_lanes
+    dprog = get_program(h, w, BASE_FRAC_DEPTH, nl, c, cis[0].mode)
+    wire = assemble_wire_batch(cis, nl)
+    lut_bits = pick_lut_bits(wire[2])
+    dev = [jnp.asarray(a) for a in wire]
+    for a in dev:
+        a.block_until_ready()
+    dec = 0.0
+    for _ in range(reps):
+        t0 = _t.perf_counter()
+        px = dprog.decode_exec(*dev, lut_bits)
+        px.block_until_ready()
+        dec = max(dec, mp / (_t.perf_counter() - t0))
+    # lossless sanity on the timed program's own output
+    got = np.asarray(px)
+    want = np.stack([im.data.reshape(-1, c).T for im in imgs])
+    np.testing.assert_array_equal(got, want)
+    return enc, dec
 
 
 def bench_native_baseline(corpus: np.ndarray, reps: int = 3) -> float:
@@ -150,17 +309,37 @@ def main():
     health = tunnel_health()
     value = bench_jax(corpus)
     baseline = bench_native_baseline(corpus)
-    print(
-        json.dumps(
-            {
-                "metric": "encode+decode throughput, 256x256 gray, jax backend",
-                "value": round(value, 4),
-                "unit": "MP/s",
-                "vs_baseline": round(value / baseline, 4) if baseline > 0 else None,
-                "tunnel": health,
-            }
+    enc_mp, dec_mp = bench_split(corpus)
+    dev_enc, dev_dec = bench_device(corpus)
+    out = {
+        "metric": "encode+decode throughput, 256x256 gray, jax backend",
+        "value": round(value, 4),
+        "unit": "MP/s",
+        "vs_baseline": round(value / baseline, 4) if baseline > 0 else None,
+        "tunnel": health,
+        # encode-only / decode-only wall clock (each direction moves
+        # ~half the tunnel bytes; the north star's wording is encode
+        # throughput)
+        "encode_mp_s": round(enc_mp, 3),
+        "decode_mp_s": round(dec_mp, 3),
+        # pre-staged device compute (what a non-tunneled chip delivers;
+        # the wall-clock numbers above sit at this environment's
+        # ~15MB/s tunnel ceiling — BASELINE.md round-3 section)
+        "device_encode_mp_s": round(dev_enc, 3),
+        "device_decode_mp_s": round(dev_dec, 3),
+        "device_roundtrip_mp_s": round(
+            1.0 / (1.0 / dev_enc + 1.0 / dev_dec), 3
+        ),
+    }
+    real = load_real_corpus(64, h, w)
+    if real is not None:
+        real_mp = bench_jax(real, reps=3)
+        real_base = bench_native_baseline(real)
+        out["real_corpus_mp_s"] = round(real_mp, 4)
+        out["real_vs_baseline"] = (
+            round(real_mp / real_base, 4) if real_base > 0 else None
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

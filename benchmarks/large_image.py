@@ -41,6 +41,7 @@ def main() -> int:
     ap.add_argument("--sizes", type=int, nargs="*", default=[1024, 2048])
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--lanes", type=int, default=None)
+    ap.add_argument("--mode", default="parallel")
     args = ap.parse_args()
 
     from frave_tpu import EncoderOptions, RasterImage
@@ -50,7 +51,9 @@ def main() -> int:
         encode_pipeline_jax_batch,
     )
 
-    opts = EncoderOptions(backend="jax", num_lanes=args.lanes)
+    opts = EncoderOptions(
+        backend="jax", num_lanes=args.lanes, mode=args.mode
+    )
     for s in args.sizes:
         img = make_image(s, s)
         ri = RasterImage.from_array(img)

@@ -890,6 +890,18 @@ class CodecProgram:
             and self.mode == "parallel"
         )
         self._decode_fused = decode_fused_seg if use_seg else decode_fused
+        if self.mode == "grid" and os.environ.get(
+            "FRAVE_GRID_STEPDEC", "0"
+        ) != "1":
+            # dense gather-free decode (codec/grid_decode.py): taps are
+            # grid shifts, symbols <-> lanes is a reshape, the scan body
+            # is the bare rANS state machine. FRAVE_GRID_STEPDEC=1 falls
+            # back to the step-tensor scan (same wire) for A/B timing.
+            from .grid_decode import build_grid_decode
+
+            self._decode_fused = build_grid_decode(
+                self, geo, sched, nl, C
+            )
         self._enc_jit: Dict[int, callable] = {}
         self._dec_jit: Dict[int, callable] = {}
         # jit caches + fetch_guess are touched from the round-trip
