@@ -73,6 +73,12 @@ class CorpusRunner:
     process_id: Optional[int] = None
     batch_size: int = 8
     max_retries: int = 1
+    # BASELINE.json config 5 composition: when a jax.sharding.Mesh with
+    # ("dp", "tp") axes is supplied, each host drives the dp x tp
+    # ShardedEncoder (parallel/sharded.py — boundary-residue ppermute
+    # halo and all) over its shard instead of the single-chip fused
+    # pipeline. One compiled encoder is cached per image shape.
+    mesh: Optional[object] = None
 
     def __post_init__(self):
         if self.num_processes is None or self.process_id is None:
@@ -91,6 +97,42 @@ class CorpusRunner:
         self.manifest_dir = self.manifest_dir or self.output_dir
         Path(self.output_dir).mkdir(parents=True, exist_ok=True)
         Path(self.manifest_dir).mkdir(parents=True, exist_ok=True)
+        self._sharded_cache: Dict[tuple, object] = {}
+
+    # ---------------- sharded (dp x tp) encode ----------------
+    def _encode_sharded(self, imgs, opts) -> List[bytes]:
+        """Encode one shape bucket through the dp x tp ShardedEncoder.
+        The encoder is compiled for a fixed global batch B (a multiple of
+        the mesh's dp extent); short chunks are padded by repeating the
+        first image and the padded outputs dropped."""
+        import numpy as np
+
+        from .sharded import ShardedEncoder
+
+        h, w, c = imgs[0].data.shape
+        dp = self.mesh.shape["dp"]
+        B = -(-max(self.batch_size, 1) // dp) * dp
+        key = (h, w, c, B)
+        enc = self._sharded_cache.get(key)
+        if enc is None:
+            enc = ShardedEncoder(
+                height=h,
+                width=w,
+                channels=c,
+                batch=B,
+                mesh=self.mesh,
+                mode=opts.mode,
+            )
+            self._sharded_cache[key] = enc
+        out: List[bytes] = []
+        for i in range(0, len(imgs), B):
+            chunk = imgs[i : i + B]
+            n = len(chunk)
+            arrs = [im.data for im in chunk]
+            while len(arrs) < B:
+                arrs.append(arrs[0])
+            out.extend(enc.encode_batch(np.stack(arrs), opts)[:n])
+        return out
 
     # ---------------- manifest ----------------
     @property
@@ -163,10 +205,13 @@ class CorpusRunner:
                 imgs = [RasterImage.from_array(load(fp)) for fp in chunk]
                 for attempt in range(self.max_retries + 1):
                     try:
-                        blobs = [
-                            serialize(c)
-                            for c in encode_pipeline_jax_batch(imgs, opts)
-                        ]
+                        if self.mesh is not None:
+                            blobs = self._encode_sharded(imgs, opts)
+                        else:
+                            blobs = [
+                                serialize(c)
+                                for c in encode_pipeline_jax_batch(imgs, opts)
+                            ]
                         break
                     except Exception as e:
                         if attempt >= self.max_retries:

@@ -73,6 +73,36 @@ def test_resume_skips_done(corpus, tmp_path):
     assert ts1 == ts2
 
 
+def test_two_host_sharded_mesh_run(corpus, tmp_path):
+    """BASELINE.json config 5 composition (VERDICT r2 #3): each simulated
+    host drives the dp x tp ShardedEncoder (ppermute halo and all) over
+    its shard; merged manifest covers the corpus; every container decodes
+    bit-exactly."""
+    from frave_tpu.codec.decoder import FRIDecoder
+    from frave_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)  # dp=2, tp=4 on the virtual CPU mesh
+    outd = str(tmp_path / "out")
+    for pid in range(2):
+        r = CorpusRunner(
+            output_dir=outd,
+            num_processes=2,
+            process_id=pid,
+            batch_size=2,
+            mesh=mesh,
+        )
+        r.run(corpus)
+        assert r._sharded_cache  # the mesh path actually ran
+    merged = merged_manifest(outd)
+    assert merged["num_done"] == 6
+    assert merged["num_failed"] == 0
+    for fp in corpus:
+        out = Path(outd) / (Path(fp).stem + ".frv")
+        img = FRIDecoder(backend="numpy").decode(out.read_bytes())
+        ref = np.asarray(Image.open(fp))[:, :, None]
+        np.testing.assert_array_equal(img.data, ref)
+
+
 def test_unreadable_file_marked_failed(corpus, tmp_path):
     bad = tmp_path / "broken.png"
     bad.write_bytes(b"not a png")
