@@ -44,7 +44,10 @@ from frave_tpu.parallel.multihost import CorpusRunner, init_distributed
 
 coord, nproc, pid, corpus_dir, out_dir, ndev = sys.argv[1:7]
 init_distributed(coord, int(nproc), int(pid))
-mesh = make_mesh(int(ndev))
+# Host-LOCAL devices only: jax.devices() is the global list and its first
+# ndev entries all belong to process 0, which would leave worker 1 with an
+# entirely non-addressable mesh (every dispatch raises).
+mesh = make_mesh(int(ndev), devices=jax.local_devices())
 files = sorted(str(p) for p in __import__("pathlib").Path(corpus_dir).glob("*.png"))
 runner = CorpusRunner(output_dir=out_dir, batch_size=2, mesh=mesh)
 t0 = time.perf_counter()

@@ -65,8 +65,11 @@ def run_k_hosts(k: int, cores_per_host: int, worker: Path,
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
     env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
     procs = []
+    avail = sorted(os.sched_getaffinity(0))
     for pid in range(k):
-        cores = set(range(pid * cores_per_host, (pid + 1) * cores_per_host))
+        # slice the ACTUAL affinity mask (a cgroup/container mask may be
+        # sparse or offset; absolute ids would raise inside preexec_fn)
+        cores = set(avail[pid * cores_per_host : (pid + 1) * cores_per_host])
         outd = outbase / f"{tag}_k{k}_h{pid}"
         procs.append(subprocess.Popen(
             [sys.executable, str(worker), str(k), str(pid),

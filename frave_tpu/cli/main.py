@@ -64,6 +64,7 @@ def _opts(args):
         backend=args.backend,
         verbose=getattr(args, "verbose", False),
         color_transform=getattr(args, "color_transform", "auto"),
+        mode=getattr(args, "mode", "parallel"),
     )
 
 
@@ -227,6 +228,15 @@ def main(argv=None) -> int:
             help="RGB coding transform: auto = per-image proxy selection, "
             "trial = exact (encodes every candidate, keeps smallest)",
         ),
+        mode=lambda p: p.add_argument(
+            "--mode",
+            default="parallel",
+            choices=["parallel", "parity", "grid"],
+            help="context-model / coefficient-layout mode "
+            "(codec/options.py): parallel = per-level waves, parity = "
+            "reference causal taps, grid = dense lattice-grid lanes "
+            "with a gather-free decode scan",
+        ),
     )
 
     pe = sub.add_parser("encode", help="encode an image to .frv")
@@ -235,6 +245,7 @@ def main(argv=None) -> int:
     common["backend"](pe)
     common["quality"](pe)
     common["color"](pe)
+    common["mode"](pe)
     pe.set_defaults(fn=cmd_encode)
 
     pd = sub.add_parser("decode", help="decode a .frv file")
@@ -249,6 +260,7 @@ def main(argv=None) -> int:
     common["backend"](pb)
     common["quality"](pb)
     common["color"](pb)
+    common["mode"](pb)
     pb.set_defaults(fn=cmd_bench)
 
     po = sub.add_parser("optimize", help="rate/distortion sweep across qualities")

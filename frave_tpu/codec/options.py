@@ -61,6 +61,11 @@ class EncoderOptions:
     #       (context_modeling.rs:25-77); decode follows the dependency
     #       wavefront. Better compression on some content, ~10-20x more
     #       decode steps.
+    #   "grid"     — parallel-mode contexts on the dense lattice-grid
+    #       coefficient layout (fractal/lattice.py): rANS lanes are the
+    #       padded per-wave grid raster, so the decode scan body is
+    #       gather-free (codec/grid_decode.py). Same rate model as
+    #       "parallel", different wire lane order (container encoding 2).
     mode: str = "parallel"
     # RGB coding transform (codec/channel_transform.py): "auto" (default,
     # reversible subtract-green), or "none"

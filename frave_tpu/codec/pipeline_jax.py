@@ -1253,16 +1253,21 @@ def encode_pipeline_jax_stream(
     stage machine is strictly sequential, encoder.rs:19-48; here batch
     i+1's device compute overlaps batch i's fetch + host mux via JAX's
     async dispatch — classic double buffering)."""
+    from ..profiling import stage_timer
+
     out: List[CompressedImage] = []
     pending = None  # (prog, packed_dev, qm, meta)
     for i in range(0, len(images), batch_size):
         chunk = images[i : i + batch_size]
-        prog, dev, qm, meta = _encode_dispatch(chunk, opts)  # async launch
+        with stage_timer("encode/dispatch"):
+            prog, dev, qm, meta = _encode_dispatch(chunk, opts)  # async
         if pending is not None:
-            out.extend(_encode_finish(*pending, opts))
+            with stage_timer("encode/finish"):
+                out.extend(_encode_finish(*pending, opts))
         pending = (prog, dev, qm, meta)
     if pending is not None:
-        out.extend(_encode_finish(*pending, opts))
+        with stage_timer("encode/finish"):
+            out.extend(_encode_finish(*pending, opts))
     return out
 
 
@@ -1382,16 +1387,21 @@ def decode_pipeline_jax_stream(
 ) -> List[RasterImage]:
     """Host/device-pipelined decode (double buffering, see
     encode_pipeline_jax_stream)."""
+    from ..profiling import stage_timer
+
     out: List[RasterImage] = []
     pending = None  # (pixels_dev, meta, C)
     for i in range(0, len(images), batch_size):
         chunk = images[i : i + batch_size]
-        dev, meta, C = decode_pipeline_jax_batch(chunk, _defer=True)
+        with stage_timer("decode/dispatch"):
+            dev, meta, C = decode_pipeline_jax_batch(chunk, _defer=True)
         if pending is not None:
-            out.extend(_decode_finish(*pending))
+            with stage_timer("decode/finish"):
+                out.extend(_decode_finish(*pending))
         pending = (dev, meta, C)
     if pending is not None:
-        out.extend(_decode_finish(*pending))
+        with stage_timer("decode/finish"):
+            out.extend(_decode_finish(*pending))
     return out
 
 

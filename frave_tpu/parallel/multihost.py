@@ -112,7 +112,7 @@ class CorpusRunner:
         h, w, c = imgs[0].data.shape
         dp = self.mesh.shape["dp"]
         B = -(-max(self.batch_size, 1) // dp) * dp
-        key = (h, w, c, B)
+        key = (h, w, c, B, opts.mode)
         enc = self._sharded_cache.get(key)
         if enc is None:
             enc = ShardedEncoder(

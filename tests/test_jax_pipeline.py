@@ -252,6 +252,9 @@ def test_stream_pipelined_roundtrip():
         encode_pipeline_jax_stream,
     )
 
+    from frave_tpu.metrics import get_metrics
+
+    get_metrics().reset()
     imgs = [_natural_image(32, 40, 1, seed=s) for s in range(10)]
     comp = encode_pipeline_jax_stream(imgs, EncoderOptions(backend="jax"), batch_size=4)
     assert len(comp) == 10
@@ -259,6 +262,16 @@ def test_stream_pipelined_roundtrip():
     outs = decode_pipeline_jax_stream([deserialize(b) for b in blobs], batch_size=4)
     for im, out in zip(imgs, outs):
         np.testing.assert_array_equal(out.data, im.data)
+    # profiling.stage_timer instruments the stream pipelines (SURVEY.md
+    # section 5 tracing subsystem): 3 batches -> 3 samples per stage
+    snap = get_metrics().snapshot()
+    for stage in (
+        "encode/dispatch",
+        "encode/finish",
+        "decode/dispatch",
+        "decode/finish",
+    ):
+        assert len(snap[stage]) == 3, snap.keys()
 
 
 def test_roundtrip_pipelined_stream():
