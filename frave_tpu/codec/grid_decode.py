@@ -1,4 +1,4 @@
-"""Dense gather-free grid-mode decode (round 3).
+"""Dense gather-free grid-mode decode (round 3; packed rows round 4).
 
 The decode-scan floor of the step-tensor decoders (pipeline_jax
 decode_fused / decode_fused_seg) is their loop-carried random access:
@@ -7,25 +7,31 @@ scatter (~0.4 ms each on the target TPU regardless of table size —
 benchmarks/op_cost_probe.py). With the lattice-grid layout
 (fractal/lattice.py) both disappear:
 
-  * coefficients live in dense per-level [A, B] grids; the rANS lane
-    layout IS the padded grid raster (mode="grid",
-    fractal/schedule.py), so symbols <-> lanes is a reshape;
-  * the 6 context taps of a whole wave are unit SHIFTS of the parent
-    value grid (static pad+slice), after a polyphase parent->child
-    broadcast built from gather-free stride plans
-    (fractal/gridplan.py) — a per-level interleave of residue-class
-    reads — plus a boundary-proportional fixup scatter
-    (the reference's scale-2 conditional neighbour corrections,
-    wavelet_transform.rs:97-177);
+  * coefficients live in dense per-level [A, B] grids; the 6 context
+    taps of a whole wave are unit SHIFTS of the parent value grid
+    (static pad+slice), after a polyphase parent->child broadcast
+    built from gather-free stride plans (fractal/gridplan.py) — a
+    per-level interleave of residue-class reads — plus a
+    boundary-proportional fixup scatter (the reference's scale-2
+    conditional neighbour corrections, wavelet_transform.rs:97-177);
   * the per-row scan body shrinks to the pure rANS state machine
     (ops/rans_jax.decode_step_comparefree — one-hot MXU contractions,
-    no table gathers).
+    no table gathers), or optionally the whole-wave Pallas kernel
+    (ops/pallas_rans.decode_scan_wave, FRAVE_GRID_PALLAS=1) that keeps
+    lane states in VMEM across all of a wave's rows.
 
-Cost model: the grid raster pads waves to lattice bounding boxes
-(~2.4x more scan rows than the dense layout), but each row costs only
-the rANS ALU work, and all neighbour/context math runs ONCE per wave as
-bulk dense ops. This replaces the symbol-sequential decode recursion of
-the reference (entropy_coding.rs:354-449).
+Round 4 packs the rANS lanes: rank-within-wave instead of raw grid
+cell (fractal/schedule.grid_row_lane). Round 3 made symbols <-> lanes
+a pure reshape by rastering each wave's full bounding box, which
+padded the scan by ~2.4x rows (647 vs 266 at 2048x2048) and made
+grid-mode encode 2.5x slower than mode=parallel (measured,
+benchmarks/grid_ab.py) while decode won. Packing keeps every scan row
+fully occupied; the grid <-> packed conversion is ONE static bulk
+gather (pack taps) plus ONE static bulk scatter (unpack values) per
+wave — outside the loop-carried scan, where they cost bulk-parallel
+HBM bandwidth instead of per-step latency. This replaces the
+symbol-sequential decode recursion of the reference
+(entropy_coding.rs:354-449).
 
 Wire-compatible with the step-tensor decoders on mode="grid"
 containers: same stream order (schedule.build_stream_perm, rows are
@@ -34,6 +40,7 @@ steps), same context math (ops/jax_ops.contexts_static), same tables.
 
 from __future__ import annotations
 
+import os
 from typing import List
 
 import jax
@@ -45,6 +52,20 @@ from ..entropy.tables_jax import finalize_contexts_device
 from ..fractal.gridplan import apply_plan
 from ..ops import jax_ops as J
 from ..ops.rans_jax import decode_step_comparefree, prepare_compare_tables
+
+
+def pallas_rans_enabled(nl: int) -> bool:
+    """Whether grid decode routes the per-wave rANS scan through the
+    whole-wave Pallas kernel (ops/pallas_rans.decode_scan_wave).
+    Off by default — measured slower than the XLA scan body on the
+    target chip (see BASELINE.md round-4 grid A/B); FRAVE_GRID_PALLAS=1
+    opts in on real TPU backends."""
+    if os.environ.get("FRAVE_GRID_PALLAS") != "1":
+        return False
+    from ..ops.pallas_lifting import pallas_supported
+    from ..ops.pallas_rans import kernel_supported
+
+    return kernel_supported(nl) and pallas_supported()
 
 
 def _shift2(g, s0: int, s1: int, fill):
@@ -114,16 +135,18 @@ def _broadcast_parent(wp, parent_vg, fill, dtype):
 
 
 class _WaveDev:
-    """Device-resident constants for one decode wave."""
+    """Device-resident constants for one decode wave (packed rows)."""
 
     def __init__(self, wp, nl: int, n_slots: int):
         put = jax.device_put
         A, B = wp.shape
-        cells = A * B
-        rows = -(-cells // nl)
+        pidx = np.nonzero(wp.active.reshape(-1))[0]
+        kw = int(pidx.shape[0])
+        rows = -(-kw // nl)  # 0 for empty waves
         self.wp = wp
         self.shape = (A, B)
-        self.cells = cells
+        self.cells = A * B
+        self.kw = kw
         self.rows = rows
         self.kind = wp.kind
         self.group = wp.group
@@ -132,17 +155,20 @@ class _WaveDev:
             (int(wp.tap_shift[k, 0]), int(wp.tap_shift[k, 1]))
             for k in range(6)
         ]
-        act = np.zeros(rows * nl, dtype=bool)
-        act[:cells] = wp.active.reshape(-1)
-        self.active_flat = put(act[:cells])  # [cells]
-        self.active_rows = put(act.reshape(rows, nl))  # [rows, NL]
-        tv = wp.tap_valid.reshape(6, cells).T  # [cells, 6]
+        # raster rank within the wave IS the packed lane order
+        # (schedule cell_pos is raster-sorted; grid_row_lane packs by
+        # rank) — pack/unpack are these static index arrays
+        self.pack_idx = put(pidx.astype(np.int32))
+        act = np.zeros(max(rows, 1) * nl, dtype=bool)
+        act[:kw] = True
+        self.active_rows = put(act[: rows * nl].reshape(rows, nl))
+        tv = wp.tap_valid.reshape(6, A * B).T[pidx]  # [kw, 6]
         self.tap_valid = put(tv)
-        slot = wp.slot_grid.reshape(-1)
-        self.wslot = put(
-            np.where(slot >= 0, slot, n_slots).astype(np.int32)
-        )
-        # fixups split per tap direction (static index arrays)
+        slot = wp.slot_grid.reshape(-1)[pidx]
+        assert (slot >= 0).all()
+        self.wslot = put(slot.astype(np.int32))
+        # fixups split per tap direction (static index arrays, in GRID
+        # coordinates — applied to tap planes before packing)
         self.fix = []
         for k in range(6):
             sel = wp.fix_tap == k
@@ -172,7 +198,7 @@ def build_grid_decode(prog, geo, sched, nl: int, C: int):
     n_slots = prog.n_slots
     for wp, wsize in zip(plans, sched.wave_sizes.tolist()):
         wd = _WaveDev(wp, nl, n_slots)
-        assert int(wp.active.sum()) == wsize
+        assert wd.kw == wsize
         rows_total += wd.rows
         waves.append(wd)
     assert rows_total == prog.rows
@@ -184,6 +210,7 @@ def build_grid_decode(prog, geo, sched, nl: int, C: int):
     fill = _PACK_ZERO if packed else 0
     gdtype = jnp.uint32 if packed else jnp.int16
     use_pallas = prog.use_pallas
+    use_pallas_rans = pallas_rans_enabled(nl)
     iota_ca = jnp.arange(CONTEXT_AMOUNT, dtype=jnp.int32)
 
     def decode_fused_grid(
@@ -202,7 +229,20 @@ def build_grid_decode(prog, geo, sched, nl: int, C: int):
             zero_hist, lap, bits0=wire_bits, off_mask_in=off_mask,
             scale_idx=scpk,
         )
-        tabs = prepare_compare_tables(cdfs_i, bits)
+        if use_pallas_rans:
+            from ..ops.pallas_rans import (
+                prepare_scan_tables,
+                stream_pad_len,
+            )
+
+            tabs_p = prepare_scan_tables(cdfs_i, bits)
+            Wst = stream.shape[-1]
+            need = stream_pad_len(C * nl, Wst)
+            stream32 = jnp.pad(
+                stream.astype(jnp.int32), (0, max(0, need - Wst))
+            )
+        else:
+            tabs = prepare_compare_tables(cdfs_i, bits)
 
         x = states
         gptr = jnp.int32(0)
@@ -212,43 +252,68 @@ def build_grid_decode(prog, geo, sched, nl: int, C: int):
             qpad = jnp.zeros((C, n_slots + 1), dtype=jnp.int16)
 
         def scan_wave(wd, buckets, preds, x, gptr):
-            """rANS-decode one wave's rows; returns the wave's value
-            grid (fill at inactive cells) and the advanced (x, gptr)."""
-            rows, cells = wd.rows, wd.cells
-            pad = rows * nl - cells
+            """rANS-decode one wave's packed rows; returns the wave's
+            packed values [C, kw] and the advanced (x, gptr)."""
+            rows, kw = wd.rows, wd.kw
+            if rows == 0:
+                return jnp.zeros((C, 0), jnp.int32), x, gptr
+            pad = rows * nl - kw
             bk = jnp.pad(buckets, ((0, 0), (0, pad))).reshape(
                 C, rows, nl
             ).transpose(1, 0, 2)  # [rows, C, NL]
 
-            def body(carry, xs):
-                x, gptr = carry
-                bk_t, act_t = xs
-                oh = jnp.asarray(
-                    bk_t[..., None] == iota_ca, dtype=jnp.bfloat16
-                )
-                sym, x, gptr = decode_step_comparefree(
-                    x, gptr, oh, act_t, stream, tabs
-                )
-                return (x, gptr), sym
+            if use_pallas_rans:
+                from ..ops.pallas_rans import decode_scan_wave
 
-            (x, gptr), syms = jax.lax.scan(
-                body, (x, gptr), (bk, wd.active_rows)
-            )  # syms [rows, C, NL]
-            syms = syms.transpose(1, 0, 2).reshape(C, rows * nl)[:, :cells]
-            values = J.unpack_signed(syms) + preds  # [C, cells]
-            if packed:
-                vg = jnp.where(
-                    wd.active_flat, _pack3(values), jnp.uint32(_PACK_ZERO)
-                ).reshape(wd.shape)
+                syms, x, gptr = decode_scan_wave(
+                    x, gptr, bk, wd.active_rows, stream32, tabs_p
+                )
             else:
-                vg = jnp.where(
-                    wd.active_flat[None], values, 0
-                ).astype(jnp.int16).reshape((C,) + wd.shape)
-            return vg, values, x, gptr
+                def body(carry, xs):
+                    x, gptr = carry
+                    bk_t, act_t = xs
+                    oh = jnp.asarray(
+                        bk_t[..., None] == iota_ca, dtype=jnp.bfloat16
+                    )
+                    sym, x, gptr = decode_step_comparefree(
+                        x, gptr, oh, act_t, stream, tabs
+                    )
+                    return (x, gptr), sym
+
+                (x, gptr), syms = jax.lax.scan(
+                    body, (x, gptr), (bk, wd.active_rows)
+                )  # syms [rows, C, NL]
+            syms = syms.transpose(1, 0, 2).reshape(C, rows * nl)[:, :kw]
+            values = J.unpack_signed(syms) + preds  # [C, kw]
+            return values, x, gptr
+
+        def to_grid(wd, values, base=None):
+            """Scatter packed values onto the wave's dense grid (ONE
+            static bulk scatter — outside the scan). base: scatter into
+            an existing grid (the DC phase-B merge) instead of fill."""
+            if packed:
+                flat = (
+                    jnp.full((wd.cells,), _PACK_ZERO, jnp.uint32)
+                    if base is None
+                    else base.reshape(-1)
+                )
+                return flat.at[wd.pack_idx].set(
+                    _pack3(values), unique_indices=True
+                ).reshape(wd.shape)
+            flat = (
+                jnp.zeros((C, wd.cells), jnp.int16)
+                if base is None
+                else base.reshape(C, -1)
+            )
+            return flat.at[:, wd.pack_idx].set(
+                values.astype(jnp.int16), unique_indices=True
+            ).reshape((C,) + wd.shape)
 
         def taps_from(wd, pv, parent_vg):
-            """6 tap value planes from shifts of pv (+fixups from the
-            parent grid), masked by tap validity -> [C, cells, 6] i32."""
+            """6 packed tap values from shifts of pv (+fixups from the
+            parent grid), masked by tap validity -> [C, kw, 6] i32.
+            Shifts/fixups run on the dense grid; ONE static gather
+            packs the stacked tap planes to the wave's active cells."""
             taps = []
             fix_by_k = {k: (t, s) for (k, t, s) in wd.fix}
             if parent_vg is not None:
@@ -272,9 +337,12 @@ def build_grid_decode(prog, geo, sched, nl: int, C: int):
                 taps.append(t)
             ts = jnp.stack(taps, axis=-1)  # [(C,)A,B,6]
             if packed:
-                vals = _unpack3(ts.reshape(wd.cells, 6))  # [3, cells, 6]
+                tsp = ts.reshape(wd.cells, 6)[wd.pack_idx]  # [kw, 6]
+                vals = _unpack3(tsp)  # [3, kw, 6]
             else:
-                vals = ts.reshape(C, wd.cells, 6).astype(jnp.int32)
+                vals = ts.reshape(C, wd.cells, 6)[
+                    :, wd.pack_idx
+                ].astype(jnp.int32)
             return jnp.where(wd.tap_valid[None], vals, 0)
 
         def wave_contexts(wd, vals, vparams, wparams):
@@ -287,53 +355,44 @@ def build_grid_decode(prog, geo, sched, nl: int, C: int):
 
         def scatter_coefs(qpad, wd, values):
             if packed:
-                wval = jnp.where(
-                    wd.active_flat,
-                    _pack3(values),
-                    jnp.uint32(_PACK_ZERO),
+                return qpad.at[wd.wslot].set(
+                    _pack3(values), unique_indices=True
                 )
-                return qpad.at[wd.wslot].set(wval)
-            wval = jnp.where(wd.active_flat[None], values, 0).astype(
-                jnp.int16
-            )
-            return jax.vmap(lambda q, v: q.at[wd.wslot].set(v))(qpad, wval)
+            wval = values.astype(jnp.int16)
+            return jax.vmap(
+                lambda q, v: q.at[wd.wslot].set(v, unique_indices=True)
+            )(qpad, wval)
 
         # ---- wave 0 (DC phase A: context-free) + wave 1 (phase B) ----
         w0, w1, w2 = waves[0], waves[1], waves[2]
-        z = jnp.zeros((C, w0.cells, 6), jnp.int32)
+        z = jnp.zeros((C, w0.kw, 6), jnp.int32)
         bk0, pr0 = wave_contexts(w0, z, vparams, wparams)
-        dcA, v0, x, gptr = scan_wave(w0, bk0, pr0, x, gptr)
+        v0, x, gptr = scan_wave(w0, bk0, pr0, x, gptr)
         qpad = scatter_coefs(qpad, w0, v0)
+        dcA = to_grid(w0, v0)
 
         vals1 = taps_from(w1, dcA, None)
         bk1, pr1 = wave_contexts(w1, vals1, vparams, wparams)
-        dcB, v1, x, gptr = scan_wave(w1, bk1, pr1, x, gptr)
+        v1, x, gptr = scan_wave(w1, bk1, pr1, x, gptr)
         qpad = scatter_coefs(qpad, w1, v1)
         # merge the two disjoint phases into the full DC grid
-        if packed:
-            dc = jnp.where(
-                w1.active_flat.reshape(w1.shape), dcB, dcA
-            )
-        else:
-            dc = jnp.where(
-                w1.active_flat.reshape(w1.shape)[None], dcB, dcA
-            )
+        dc = to_grid(w1, v1, base=dcA)
 
         # ---- wave 2 (root-HF: taps = neighbour DC values) ----
         vals2 = taps_from(w2, dc, None)
         bk2, pr2 = wave_contexts(w2, vals2, vparams, wparams)
-        root, v2, x, gptr = scan_wave(w2, bk2, pr2, x, gptr)
+        v2, x, gptr = scan_wave(w2, bk2, pr2, x, gptr)
         qpad = scatter_coefs(qpad, w2, v2)
 
         # ---- HF levels: parent broadcast -> shifts -> scan ----
-        parent = root
+        parent = to_grid(w2, v2)
         for wd in waves[3:]:
             pv = _broadcast_parent(wd.wp, parent, fill, gdtype)
             vals = taps_from(wd, pv, parent)
             bk, pr = wave_contexts(wd, vals, vparams, wparams)
-            vg, vv, x, gptr = scan_wave(wd, bk, pr, x, gptr)
+            vv, x, gptr = scan_wave(wd, bk, pr, x, gptr)
             qpad = scatter_coefs(qpad, wd, vv)
-            parent = vg
+            parent = to_grid(wd, vv)
 
         # ---- inverse lifting + pixel assembly (same as decode_fused) --
         if packed:

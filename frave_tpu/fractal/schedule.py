@@ -500,18 +500,28 @@ def _steps_from_slot(
 
 
 def grid_row_lane(sched: WavefrontSchedule, nl: int):
-    """Grid mode: (row, lane) of every schedule symbol for lane count nl
-    (row = wave base row + cell // nl, lane = cell % nl; every wave's
-    grid region is padded to whole rows). Also returns total rows."""
+    """Grid mode: (row, lane) of every schedule symbol for lane count nl.
+
+    Round 4 — PACKED rows: row = wave base row + rank // nl, lane =
+    rank % nl, where rank is the symbol's raster rank WITHIN its wave
+    (= its schedule position inside the wave). Round 3 rastered each
+    wave's full bounding-box grid into lanes (lane = cell index), which
+    made symbols <-> lanes a pure reshape but padded the scan to the
+    grids' inactive cells: 647 rows vs the 266-row packed minimum at
+    2048x2048 (measured A/B, benchmarks/grid_ab.py — the padding made
+    grid-mode ENCODE 2.5x slower than mode=parallel while decode won).
+    Packing keeps the scan body gather-free — the compaction moves to
+    ONE static bulk gather/scatter per wave, outside the loop-carried
+    scan (codec/grid_decode.py). Also returns total rows."""
     assert sched.cell_pos is not None
-    rows_per_wave = -(-sched.wave_cells // nl)  # ceil
+    sizes = sched.wave_sizes.astype(np.int64)
+    rows_per_wave = -(-sizes // nl)  # ceil; 0 rows for empty waves
     base = np.concatenate([[0], np.cumsum(rows_per_wave)])
-    wave_of_sym = np.repeat(
-        np.arange(sched.max_wave, dtype=np.int64),
-        sched.wave_sizes.astype(np.int64),
-    )
-    row = base[wave_of_sym] + sched.cell_pos // nl
-    lane = sched.cell_pos % nl
+    wstart = np.concatenate([[0], np.cumsum(sizes)])
+    wave_of_sym = np.repeat(np.arange(sched.max_wave, dtype=np.int64), sizes)
+    rank = np.arange(sched.num_symbols, dtype=np.int64) - wstart[wave_of_sym]
+    row = base[wave_of_sym] + rank // nl
+    lane = rank % nl
     return row, lane, int(base[-1]), rows_per_wave
 
 

@@ -199,6 +199,7 @@ def _decode_kernel(
         cw = jax.lax.dot_general(
             ohb, coarse_ref[c], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )[:, : W32 + 1].astype(jnp.int32)  # [NL, 33]
         slot_c = slot[c].reshape(NL, 1)
         le_c = cw <= slot_c
@@ -224,6 +225,7 @@ def _decode_kernel(
             fw = jax.lax.dot_general(
                 ohw, fine_ref[c], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )[:, : W32 + 1].astype(jnp.int32)  # [chunk, 33]
             sl = slot_c[k0 : k0 + chunk]
             le = fw <= sl
@@ -274,6 +276,7 @@ def _decode_kernel(
         wcol = jax.lax.dot_general(
             ohp, wblk.reshape(rblk, 1), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [rblk, 1]
         wcols.append(wcol.astype(jnp.int32).reshape(1, rblk))
     wv = _u32(jnp.concatenate(wcols, axis=0).reshape(C, NL))

@@ -9,9 +9,11 @@ across block boundaries, inactive lanes, per-bucket bit widths.
 
 The kernel's DMA/roll primitives hang under the Pallas interpreter on
 this jax build, so this test runs ONLY on a real TPU (skipped in the
-CPU CI); the CPU suite still covers the grid decode end-to-end through
-its XLA fallback, and the jax roundtrip tests exercise the kernel on
-hardware.
+CPU CI — run it with FRAVE_TEST_TPU=1 on a TPU machine, which keeps
+the accelerator visible instead of forcing the 8-device CPU mesh); the
+CPU suite covers the grid decode end-to-end through its XLA scan body.
+The production wiring is codec/grid_decode.py's FRAVE_GRID_PALLAS=1
+path, covered on hardware by test_grid_pallas_roundtrip below.
 """
 
 import jax
@@ -119,3 +121,40 @@ def test_decode_scan_wave_matches_xla_chain(C, NL, R):
     np.testing.assert_array_equal(
         np.asarray(syms)[act3], np.asarray(ref_syms)[act3]
     )
+
+
+@pytest.mark.skipif(
+    not _tpu_available(), reason="pallas rANS kernel needs a real TPU"
+)
+@pytest.mark.parametrize("c", [1, 3])
+def test_grid_pallas_roundtrip(monkeypatch, c):
+    """Production wiring: grid-mode decode with FRAVE_GRID_PALLAS=1
+    routes every wave's rANS scan through decode_scan_wave
+    (codec/grid_decode.py) — lossless round trip on hardware."""
+    monkeypatch.setenv("FRAVE_GRID_PALLAS", "1")
+    from frave_tpu.codec.decoder import FRIDecoder
+    from frave_tpu.codec.encoder import FRIEncoder
+    from frave_tpu.codec.grid_decode import pallas_rans_enabled
+    from frave_tpu.codec.options import EncoderOptions
+    from frave_tpu.images import RasterImage
+
+    assert pallas_rans_enabled(128)
+    rng = np.random.default_rng(5 + c)
+    h, w = 96, 80
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 127 + 60 * np.sin(xx / 9.0) + 40 * np.cos(yy / 13.0)
+    data = np.stack(
+        [
+            np.clip(base + 8 * i + rng.normal(0, 4, (h, w)), 0, 255)
+            for i in range(c)
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    img = RasterImage.from_array(data)
+    # num_lanes=128: the kernel needs nl % 128 == 0 (kernel_supported);
+    # the default heuristic lane count for this size is smaller
+    blob = FRIEncoder(
+        EncoderOptions(backend="jax", mode="grid", num_lanes=128)
+    ).encode(img)
+    out = FRIDecoder(backend="jax").decode(blob)
+    np.testing.assert_array_equal(out.data, img.data)
