@@ -303,16 +303,27 @@ class CodecProgram:
         _rank = np.full(R * C * nl, 1 << 30, dtype=np.int32)
         _rank[_pm] = np.arange(_pm.shape[0], dtype=np.int32)
         self._inv_perm = put(_rank)
-        # grid mode: schedule symbol k lives at padded-grid slot
-        # row*NL + lane instead of the dense k (fractal/lattice.py)
+        # grid mode (packed rows, round 4): every wave's symbols are
+        # CONTIGUOUS in schedule order and fill rows back-to-back, so
+        # laying symbols onto the [R, NL] lane grid is per-wave static
+        # slicing + tail padding + concat — pure layout ops, no scatter
+        # (the round-3 padded-raster layout needed a [C, K] scatter per
+        # encode array here)
         if sched.cell_pos is not None:
             from ..fractal.schedule import grid_row_lane
 
-            _gr, _gl, _gR, _ = grid_row_lane(sched, nl)
+            _, _, _gR, _rpw = grid_row_lane(sched, nl)
             assert _gR == R
-            self._slotf = put((_gr * nl + _gl).astype(np.int32))
+            segs = []
+            k0 = 0
+            for ws, rw in zip(
+                sched.wave_sizes.tolist(), _rpw.tolist()
+            ):
+                segs.append((k0, ws, int(rw) * nl - ws))
+                k0 += ws
+            self._wave_segs = segs
         else:
-            self._slotf = None
+            self._wave_segs = None
         st_coef = steps.step_coef.astype(np.int32)
         st_active = st_coef >= 0
         # ---- decode segments (parallel mode): one entry per schedule
@@ -517,12 +528,18 @@ class CodecProgram:
 
             # --- rANS encode over [R, C, NL] grids
             pad = R * nl - K
-            slotf = self._slotf
+            wave_segs = self._wave_segs
 
-            if slotf is not None:  # grid mode: scatter to padded slots
+            if wave_segs is not None:  # grid mode: per-wave slice+pad
                 def grid(a, fill):
-                    buf = jnp.full((C, R * nl), fill, dtype=a.dtype)
-                    buf = buf.at[:, slotf].set(a, unique_indices=True)
+                    segs = []
+                    for (k0, ws, padw) in wave_segs:
+                        segs.append(a[:, k0 : k0 + ws])
+                        if padw:
+                            segs.append(
+                                jnp.full((C, padw), fill, dtype=a.dtype)
+                            )
+                    buf = jnp.concatenate(segs, axis=1)
                     return buf.reshape(C, R, nl).transpose(1, 0, 2)
             else:
                 def grid(a, fill):

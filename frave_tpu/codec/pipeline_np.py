@@ -30,6 +30,7 @@ from ..fractal.schedule import (
     get_lane_steps,
     get_stream_perm,
     default_num_lanes,
+    rate_adaptive_lanes,
 )
 from ..modeling import fit_predictors_np
 from ..ops.lifting import (
@@ -62,13 +63,15 @@ def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedIm
     qcoef = quantize_np(coef, qm, geo)
     qflat = qcoef.reshape(C, -1).astype(np.int64)
 
-    nl = opts.num_lanes or default_num_lanes(sched.num_symbols)
-
     hf = ~sched.sched_lf
     overrides = opts.prediction_overrides(C)
     channel_data: List[ChannelData] = []
     word_grids: List[np.ndarray] = []
     flag_grids: List[np.ndarray] = []
+    # phase 1 (per channel): fits, contexts, symbols, entropy tables —
+    # everything BEFORE the lane count has to be fixed
+    phase1 = []
+    est_bits = 0.0
     for ch in range(C):
         # --- learned predictor fit on HF slots (context_modeling.rs:204-213)
         vals_hf = gather_neighbour_values(qflat[ch], sched.sched_nbr[hf])
@@ -119,7 +122,27 @@ def encode_pipeline_np(image: RasterImage, opts: EncoderOptions) -> CompressedIm
         cdfs = np.stack([c.cdf for c in contexts])
         bits = np.asarray([c.max_freq_bits for c in contexts], dtype=np.int32)
 
-        if sched.cell_pos is not None:  # grid mode: lanes = padded grid
+        # exact expected code length under the finalized tables — the
+        # rate-adaptive lane choice below compares it to per-lane wire
+        # overhead (container.py STT block: 2-4 B/lane/channel)
+        p = freqs[buckets, symbols].astype(np.float64) / (
+            1 << bits[buckets].astype(np.int64)
+        )
+        est_bits += float(-np.log2(p).sum())
+        phase1.append(
+            (symbols, buckets, contexts, freqs, cdfs, bits,
+             vparams, wparams, residuals)
+        )
+
+    nl = opts.num_lanes or rate_adaptive_lanes(
+        default_num_lanes(sched.num_symbols), est_bits / 8.0, C
+    )
+
+    # phase 2 (per channel): interleaved rANS over the chosen lane grid
+    for ch in range(C):
+        (symbols, buckets, contexts, freqs, cdfs, bits,
+         vparams, wparams, residuals) = phase1[ch]
+        if sched.cell_pos is not None:  # grid mode: lanes = packed grid
             from ..fractal.schedule import grid_row_lane
 
             grow, glane, gR, _ = grid_row_lane(sched, nl)

@@ -576,6 +576,26 @@ def default_num_lanes(num_symbols: int) -> int:
     return 1 << (int(target).bit_length() - 1)
 
 
+def rate_adaptive_lanes(
+    default_nl: int, est_payload_bytes: float, channels: int
+) -> int:
+    """Shrink the lane count when per-lane wire overhead would dominate
+    the container (round 4, the flat-content rate fix).
+
+    Each lane costs ~2-4 B/channel on the wire (the STT state block,
+    container.py, plus up-to-a-word of per-lane flush rounding). On
+    flat/graphic content the entropy-coded payload is tiny — e.g. the
+    reference repo's fractals.gif grays to ~1.3 KB of symbol payload,
+    where the default 4096 lanes added ~15 KB of overhead (12.8x PNG;
+    measured round 4). Cap lanes so overhead stays <= ~12.5% of the
+    expected payload, with a floor of 256 so decode keeps a useful
+    wavefront (rows = K / nl; rate-focused callers can pin
+    EncoderOptions.num_lanes lower, throughput-focused ones higher)."""
+    cap = max(256.0, est_payload_bytes / (32.0 * max(channels, 1)))
+    nl = 1 << (int(cap).bit_length() - 1)
+    return min(default_nl, nl)
+
+
 _sched_cache: Dict[Tuple[int, int, int, str], WavefrontSchedule] = {}
 _lane_cache: Dict[Tuple[int, int, int, int, str], LaneSteps] = {}
 _lock = threading.Lock()

@@ -268,7 +268,14 @@ def _decode_kernel(
     for b in range(nblk):
         lpos = jnp.clip(within[b : b + 1, :] - 1, 0, rblk - 1)  # [1,rblk]
         shift = off + bbase[b, 0]
-        wblk = pltpu.roll(win2, -shift, 1)[:, :rblk].astype(jnp.float32)
+        # roll LEFT by shift, expressed as a positive right-roll:
+        # pltpu.roll with a traced NEGATIVE shift is miscompiled on this
+        # jax/Mosaic build (off by 2048 lanes — probed on-device, round
+        # 4); positive traced shifts are correct. shift < win always
+        # (off < ALIGN, bbase <= cnl, win >= cnl + ALIGN + RBLK).
+        wblk = pltpu.roll(win2, win - shift, 1)[:, :rblk].astype(
+            jnp.float32
+        )
         ohp = (
             lpos.reshape(rblk, 1)
             == jax.lax.broadcasted_iota(jnp.int32, (rblk, rblk), 1)

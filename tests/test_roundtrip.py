@@ -86,3 +86,44 @@ def test_single_pixel_and_tiny_images():
         enc = FRIEncoder(EncoderOptions(backend="numpy")).encode(img)
         dec = FRIDecoder(backend="numpy").decode(enc)
         assert np.array_equal(dec.data, img), shape
+
+
+def test_rate_adaptive_lanes_flat_content():
+    """Flat/graphic content shrinks the lane count (round 4): per-lane
+    wire overhead (~2-4 B/lane/channel) must not dominate a tiny
+    payload. Photo-like content keeps the throughput-sized default."""
+    from frave_tpu.codec.container import deserialize
+    from frave_tpu.fractal.schedule import default_num_lanes, get_schedule
+
+    flat = make_image(256, 256, 1, "flat")
+    enc = FRIEncoder(EncoderOptions(backend="numpy"))
+    blob = deserialize(enc.encode(flat))
+    default = default_num_lanes(get_schedule(256, 256).num_symbols)
+    assert blob.num_lanes < default
+    out = FRIDecoder(backend="numpy").decode(
+        FRIEncoder(EncoderOptions(backend="numpy")).encode(flat)
+    )
+    np.testing.assert_array_equal(out.data, flat)
+
+    noisy = make_image(256, 256, 1, "noise")
+    blob2 = deserialize(enc.encode(noisy))
+    assert blob2.num_lanes == default
+
+
+def test_rate_adaptive_fallback_jax_backend():
+    """The single-image jax encode falls back to the rate-adaptive
+    numpy path when lane overhead dominates (FRIEncoder._lanes_dominate);
+    the container stays losslessly decodable on both backends."""
+    from frave_tpu.codec.container import deserialize
+
+    flat = make_image(128, 96, 1, "flat")
+    blob = FRIEncoder(EncoderOptions(backend="jax")).encode(flat)
+    small = deserialize(blob).num_lanes
+    pinned = FRIEncoder(
+        EncoderOptions(backend="jax", num_lanes=512)
+    ).encode(flat)
+    assert small < deserialize(pinned).num_lanes
+    assert len(blob) < len(pinned)
+    for backend in ("numpy", "jax"):
+        out = FRIDecoder(backend=backend).decode(blob)
+        np.testing.assert_array_equal(out.data, flat)
