@@ -911,14 +911,23 @@ class CodecProgram:
             "FRAVE_GRID_STEPDEC", "0"
         ) != "1":
             # dense gather-free decode (codec/grid_decode.py): taps are
-            # grid shifts, symbols <-> lanes is a reshape, the scan body
-            # is the bare rANS state machine. FRAVE_GRID_STEPDEC=1 falls
-            # back to the step-tensor scan (same wire) for A/B timing.
+            # grid shifts, symbols <-> packed lanes is a static bulk
+            # gather per wave, the scan body is the bare rANS state
+            # machine. FRAVE_GRID_STEPDEC=1 falls back to the
+            # step-tensor scan (same wire) for A/B timing.
             from .grid_decode import build_grid_decode
 
-            self._decode_fused = build_grid_decode(
-                self, geo, sched, nl, C
-            )
+            try:
+                self._decode_fused = build_grid_decode(
+                    self, geo, sched, nl, C
+                )
+            except AssertionError:
+                # tiny shapes (< ~32 px a side): too few cells per
+                # mod-4 residue class for the lattice parent-map affine
+                # fit (fractal/lattice.py) — the step-tensor decoder
+                # handles the same grid wire, just without the dense
+                # fast path
+                pass
         self._enc_jit: Dict[int, callable] = {}
         self._dec_jit: Dict[int, callable] = {}
         # jit caches + fetch_guess are touched from the round-trip

@@ -98,8 +98,22 @@ class ShardedEncoder:
         nl = max(nl, tp)
         nl = -(-nl // tp) * tp
         self.nl = nl
-        R = -(-K // nl)
-        Kp = R * nl
+        if sched.cell_pos is not None:
+            # grid mode: waves fill whole packed rows (grid_row_lane);
+            # analysis stays in dense tail-padded k-order and a static
+            # take lays symbols onto the row grid before the rANS scan
+            from ..fractal.schedule import grid_row_lane
+
+            grow, glane, R, _ = grid_row_lane(sched, nl)
+            slot = (grow * nl + glane).astype(np.int64)
+            lay = np.full(R * nl, -1, dtype=np.int64)
+            lay[slot] = np.arange(K, dtype=np.int64)
+            self._grid_valid = lay >= 0
+            self._grid_lay = np.where(lay >= 0, lay, 0).astype(np.int32)
+        else:
+            R = -(-K // nl)
+            self._grid_lay = self._grid_valid = None
+        Kp = -(-K // nl) * nl  # dense analysis padding (k-order)
         Tp = -(-T // tp) * tp
         n_slots_pad = Tp * N  # zero pad slot lives at this index
         self.rows, self.num_symbols = R, K
@@ -495,7 +509,17 @@ class ShardedEncoder:
             else None
         )
         self._qn = qn
-        self._Kp = R * nl  # lane-grid width (original padded symbol count)
+        self._Kp = R * nl  # lane-grid width (rows x lanes)
+        self._lay_dev = (
+            jnp.asarray(self._grid_lay)
+            if self._grid_lay is not None
+            else None
+        )
+        self._gridvalid_dev = (
+            jnp.asarray(self._grid_valid)
+            if self._grid_valid is not None
+            else None
+        )
 
     # ------------------------------------------------------------------
     def encode_batch(
@@ -552,11 +576,18 @@ class ShardedEncoder:
             # restore canonical k-order before the lane-grid reshape
             symbols = jnp.take(symbols, self._inv_dev, axis=2)
             buckets = jnp.take(buckets, self._inv_dev, axis=2)
+        if self._lay_dev is not None:
+            # grid mode: lay dense-k symbols onto the packed row grid
+            # (per-wave whole rows); pad slots are masked by valid
+            symbols = jnp.take(symbols, self._lay_dev, axis=2)
+            buckets = jnp.take(buckets, self._lay_dev, axis=2)
+            valid = self._gridvalid_dev
+        else:
+            valid = jnp.asarray(
+                _pad_to(np.ones(self.num_symbols, dtype=bool), self._Kp, False)
+            )
         sym_g = symbols.reshape(B, C, R, nl).transpose(2, 0, 1, 3)
         bkt_g = buckets.reshape(B, C, R, nl).transpose(2, 0, 1, 3)
-        valid = jnp.asarray(
-            _pad_to(np.ones(self.num_symbols, dtype=bool), self._Kp, False)
-        )
         val_g = jnp.broadcast_to(
             valid.reshape(R, nl)[:, None, None, :], (R, B, C, nl)
         )

@@ -111,3 +111,34 @@ def test_unreadable_file_marked_failed(corpus, tmp_path):
     m = r.run(corpus + [str(bad)])
     assert m["entries"][str(bad)]["status"] == "failed"
     assert sum(1 for e in m["entries"].values() if e["status"] == "done") == 6
+
+
+def test_two_host_sharded_grid_mode(corpus, tmp_path):
+    """Grid-mode containers through the multihost dp x tp path
+    (VERDICT r3 #9): per-host ShardedEncoder compiled for mode=grid
+    (cache keyed on mode — ADVICE r3), lossless merged output."""
+    from frave_tpu.codec.container import deserialize
+    from frave_tpu.codec.decoder import FRIDecoder
+    from frave_tpu.codec.options import EncoderOptions
+    from frave_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    outd = str(tmp_path / "out")
+    for pid in range(2):
+        r = CorpusRunner(
+            output_dir=outd,
+            num_processes=2,
+            process_id=pid,
+            batch_size=2,
+            mesh=mesh,
+        )
+        r.run(corpus, EncoderOptions(mode="grid"))
+    merged = merged_manifest(outd)
+    assert merged["num_done"] == 6
+    assert merged["num_failed"] == 0
+    for fp in corpus:
+        blob = (Path(outd) / (Path(fp).stem + ".frv")).read_bytes()
+        assert deserialize(blob).mode == "grid"
+        img = FRIDecoder(backend="numpy").decode(blob)
+        ref = np.asarray(Image.open(fp))[:, :, None]
+        np.testing.assert_array_equal(img.data, ref)

@@ -187,3 +187,29 @@ def test_halo_exchange_is_ppermute():
     dec = FRIDecoder(backend="numpy")
     for i, b in enumerate(blobs):
         np.testing.assert_array_equal(dec.decode(b).data, batch[i])
+
+
+def test_sharded_grid_mode_roundtrip():
+    """mode=grid through the dp x tp SPMD paths (VERDICT r3 #9): the
+    ShardedEncoder emits grid-wire containers, the dp ShardedDecoder
+    and the lane-sharded TPShardedDecoder both decode them lossless."""
+    from frave_tpu.codec.container import deserialize
+    from frave_tpu.parallel.sharded import ShardedDecoder, TPShardedDecoder
+
+    mesh = make_mesh(8)
+    batch = _batch(2, 32, 48, 1, seed=31)
+    enc = ShardedEncoder(
+        height=32, width=48, channels=1, batch=2, mesh=mesh, mode="grid"
+    )
+    blobs = enc.encode_batch(batch, EncoderOptions(mode="grid"))
+    assert deserialize(blobs[0]).mode == "grid"
+    dec = ShardedDecoder(height=32, width=48, channels=1, mesh=mesh)
+    outs = dec.decode_batch(blobs)
+    for i in range(2):
+        np.testing.assert_array_equal(outs[i].data, batch[i])
+    # lane-sharded single-image decode of the same grid containers
+    blob = FRIEncoder(
+        EncoderOptions(backend="jax", mode="grid", num_lanes=64)
+    ).encode(batch[0])
+    tpd = TPShardedDecoder(height=32, width=48, channels=1, mesh=mesh)
+    np.testing.assert_array_equal(tpd.decode(blob).data, batch[0])
