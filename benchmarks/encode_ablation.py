@@ -28,6 +28,9 @@ from bench import make_corpus  # noqa: E402
 def timeit(fn, *args, reps=4):
     out = fn(*args)
     jax.block_until_ready(out)
+    # honest mode: block_until_ready does not synchronize before the
+    # process's first device->host fetch (BASELINE.md round-3 note)
+    np.asarray(jnp.zeros(()))
     best = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
