@@ -82,3 +82,12 @@ def run_dryrun(n_devices: int) -> None:
     # host-oracle cross-check of the sharded encode bitstream
     out = FRIDecoder(backend="numpy").decode(blobs[0])
     np.testing.assert_array_equal(out.data, batch[0])
+
+    # grid-mode wire through the same dp x tp sharded paths (round 4)
+    genc = ShardedEncoder(
+        height=h, width=w, channels=C, batch=B, mesh=mesh, mode="grid"
+    )
+    gblobs = genc.encode_batch(batch, EncoderOptions(mode="grid"))
+    gouts = dec.decode_batch(gblobs)
+    for i in range(B):
+        np.testing.assert_array_equal(gouts[i].data, batch[i])
