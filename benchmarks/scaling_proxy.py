@@ -42,8 +42,15 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 from frave_tpu.parallel.multihost import CorpusRunner
 
-nproc, pid, corpus_dir, out_dir = sys.argv[1:5]
+nproc, pid, corpus_dir, out_dir, warm_dir = sys.argv[1:6]
 files = sorted(str(p) for p in __import__("pathlib").Path(corpus_dir).glob("*.png"))
+if warm_dir != "-":
+    # steady-state mode: warm this process's jit/program caches on a
+    # small same-shape corpus BEFORE the timed run, modelling long-lived
+    # per-host service processes (cold-start mode passes "-")
+    wfiles = sorted(str(p) for p in __import__("pathlib").Path(warm_dir).glob("*.png"))
+    CorpusRunner(output_dir=out_dir + "_warm", num_processes=1,
+                 process_id=0, batch_size=8).run(wfiles)
 r = CorpusRunner(output_dir=out_dir, num_processes=int(nproc),
                  process_id=int(pid), batch_size=8)
 t0 = time.perf_counter()
@@ -56,35 +63,45 @@ print(dt)
 
 
 def run_k_hosts(k: int, cores_per_host: int, worker: Path,
-                corpus: Path, outbase: Path, tag: str) -> float:
+                corpus: Path, outbase: Path, tag: str,
+                warm: Path = None, sequential: bool = False) -> float:
     """Launch k pinned hosts over the shared corpus; return the slowest
-    host's run time (cluster-limited)."""
+    host's run time (cluster-limited). sequential=True runs the hosts
+    one after another on the same core slice — a contention-free proxy
+    for hosts with PRIVATE machines (corpus encode has no inter-host
+    communication; concurrent mode additionally charges this single
+    machine's shared memory bandwidth to the cluster)."""
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_COMPILATION_CACHE_DIR"] = "/root/.cache/jax"
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
     env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
-    procs = []
     avail = sorted(os.sched_getaffinity(0))
-    for pid in range(k):
+
+    def launch(pid):
         # slice the ACTUAL affinity mask (a cgroup/container mask may be
         # sparse or offset; absolute ids would raise inside preexec_fn)
-        cores = set(avail[pid * cores_per_host : (pid + 1) * cores_per_host])
+        lo = (0 if sequential else pid) * cores_per_host
+        cores = set(avail[lo : lo + cores_per_host])
         outd = outbase / f"{tag}_k{k}_h{pid}"
-        procs.append(subprocess.Popen(
+        return subprocess.Popen(
             [sys.executable, str(worker), str(k), str(pid),
-             str(corpus), str(outd)],
+             str(corpus), str(outd), str(warm) if warm else "-"],
             env=env, cwd="/root/repo", text=True,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             preexec_fn=lambda c=cores: os.sched_setaffinity(0, c),
-        ))
-    times = []
-    for p in procs:
+        )
+
+    def collect(p):
         stdout, stderr = p.communicate(timeout=1200)
         if p.returncode != 0:
             raise RuntimeError(stderr[-3000:])
-        times.append(float(stdout.strip().splitlines()[-1]))
-    return max(times)
+        return float(stdout.strip().splitlines()[-1])
+
+    if sequential:
+        return max(collect(launch(pid)) for pid in range(k))
+    procs = [launch(pid) for pid in range(k)]
+    return max(collect(p) for p in procs)
 
 
 def main() -> int:
@@ -112,20 +129,38 @@ def main() -> int:
 
     worker = tmp / "worker.py"
     worker.write_text(_WORKER)
+    # per-host in-process warmup corpus (same shape, batch-size-sized):
+    # timed runs model long-lived host processes (steady state)
+    warm_dir = tmp / "warmset"
+    warm_dir.mkdir()
+    for i in range(8):
+        fx = float(rng.uniform(8, 40))
+        arr = np.clip(127 + 70 * np.sin(xx / fx)
+                      + rng.normal(0, 5, (args.hw, args.hw)),
+                      0, 255).astype(np.uint8)
+        Image.fromarray(arr, mode="L").save(warm_dir / f"w_{i}.png")
 
     # warm the persistent compile cache (full-core, untimed)
     run_k_hosts(1, ncores, worker, corpus, tmp, "warm")
 
     out = {"corpus": f"{args.n} x {args.hw}x{args.hw} gray",
            "reps": args.reps, "machine_cores": ncores, "curves": {}}
-    plans = [("2core", 2, [1, 2])] if ncores >= 4 else []
-    plans.append(("1core", 1, [k for k in (1, 2, 4) if k <= ncores]))
-    for tag, cph, ks in plans:
+    # concurrent plans share this one machine (k x cph cores of DRAM /
+    # LLC bandwidth); the "-seq" plan runs hosts back-to-back on ONE
+    # core slice — the contention-free proxy for private-machine hosts
+    plans = (
+        [("2core", 2, [1, 2], False), ("2core-seq", 2, [1, 2], True)]
+        if ncores >= 4
+        else []
+    )
+    plans.append(("1core", 1, [k for k in (1, 2, 4) if k <= ncores], False))
+    for tag, cph, ks, seq in plans:
         t = {k: [] for k in ks}
         for rep in range(args.reps):
             for k in ks:
                 t[k].append(run_k_hosts(k, cph, worker, corpus, tmp,
-                                        f"{tag}_r{rep}"))
+                                        f"{tag}_r{rep}", warm=warm_dir,
+                                        sequential=seq))
         curve = {}
         for k in ks:
             mean = statistics.mean(t[k])
@@ -140,7 +175,9 @@ def main() -> int:
                 "efficiency_pct_worst": round(
                     100 * min(t[ks[0]]) / (k * max(t[k])), 1),
             }
-        out["curves"][f"{cph}-core hosts"] = curve
+        out["curves"][
+            f"{cph}-core hosts" + (" (sequential/contention-free)" if seq else "")
+        ] = curve
     print(json.dumps(out))
     return 0
 
