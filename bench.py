@@ -80,7 +80,7 @@ def _bench_opts():
     return EncoderOptions(
         backend="jax",
         num_lanes=int(nl_env) if nl_env else None,
-        mode=os.environ.get("FRAVE_BENCH_MODE", "parallel"),
+        mode=os.environ.get("FRAVE_BENCH_MODE", "grid"),
     )
 
 

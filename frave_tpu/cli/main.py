@@ -64,7 +64,7 @@ def _opts(args):
         backend=args.backend,
         verbose=getattr(args, "verbose", False),
         color_transform=getattr(args, "color_transform", "auto"),
-        mode=getattr(args, "mode", "parallel"),
+        mode=getattr(args, "mode", "grid"),
     )
 
 
@@ -230,12 +230,13 @@ def main(argv=None) -> int:
         ),
         mode=lambda p: p.add_argument(
             "--mode",
-            default="parallel",
-            choices=["parallel", "parity", "grid"],
+            default="grid",
+            choices=["grid", "parallel", "parity"],
             help="context-model / coefficient-layout mode "
-            "(codec/options.py): parallel = per-level waves, parity = "
-            "reference causal taps, grid = dense lattice-grid lanes "
-            "with a gather-free decode scan",
+            "(codec/options.py): grid (default) = dense lattice-grid "
+            "lanes with a gather-free decode scan, parallel = "
+            "per-level waves with the step-tensor scan, parity = "
+            "reference causal taps",
         ),
     )
 

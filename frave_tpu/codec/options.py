@@ -55,18 +55,23 @@ class EncoderOptions:
     num_lanes: Optional[int] = None  # None -> heuristic from symbol count
     backend: str = "auto"  # "jax" | "numpy" | "auto"
     # Context-model mode (frave_tpu/fractal/schedule.py):
-    #   "parallel" (default) — all 6 neighbour taps at parent resolution;
-    #       each level decodes as one wave (TPU-first).
+    #   "grid" (default since round 4) — parallel-mode contexts on the
+    #       dense lattice-grid coefficient layout (fractal/lattice.py):
+    #       rANS lanes are packed per-wave grid rows, so the decode scan
+    #       body is gather-free (codec/grid_decode.py). Same rate model
+    #       as "parallel", different wire lane order (container encoding
+    #       2). Measured A/B on the chip (BASELINE.md round 4): decode
+    #       +62-95%, encode at parity, round trip +23-37% vs "parallel"
+    #       at both 256^2 gray and 2048^2 RGB. Tiny shapes (< ~32 px a
+    #       side) keep the grid wire but decode via the step-tensor
+    #       path (no exact lattice parent maps there).
+    #   "parallel" — all 6 neighbour taps at parent resolution; each
+    #       level decodes as one wave; step-tensor scan decode.
     #   "parity"   — the reference's causal same-level taps
     #       (context_modeling.rs:25-77); decode follows the dependency
     #       wavefront. Better compression on some content, ~10-20x more
     #       decode steps.
-    #   "grid"     — parallel-mode contexts on the dense lattice-grid
-    #       coefficient layout (fractal/lattice.py): rANS lanes are the
-    #       padded per-wave grid raster, so the decode scan body is
-    #       gather-free (codec/grid_decode.py). Same rate model as
-    #       "parallel", different wire lane order (container encoding 2).
-    mode: str = "parallel"
+    mode: str = "grid"
     # RGB coding transform (codec/channel_transform.py): "auto" (default,
     # reversible subtract-green), or "none"
     color_transform: str = "auto"

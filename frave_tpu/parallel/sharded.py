@@ -77,7 +77,7 @@ class ShardedEncoder:
     mesh: Mesh
     depth: int = BASE_FRAC_DEPTH
     num_lanes: Optional[int] = None
-    mode: str = "parallel"
+    mode: str = "grid"
 
     def __post_init__(self):
         h, w, depth, C = self.height, self.width, self.depth, self.channels
