@@ -217,8 +217,12 @@ def build_grid_decode(prog, geo, sched, nl: int, C: int):
         states, stream, wire_bits, offpk, scpk, vparams, wparams,
         qdiv, tid, lap,
         d_coef, d_active, d_nbr, d_lf, d_grp, d_fbkt,
-        pix_safe, node_mask, leaf_inb, lut_bits=None,
+        pix_safe, node_mask, leaf_inb, lut_bits=None, pallas_ok=False,
     ):
+        # pallas_ok: static flag from decode_exec — only the UNBATCHED
+        # (B=1) call may route through the whole-wave kernel (its
+        # manual-DMA stream operand cannot lower under vmap batching)
+        use_kernel = use_pallas_rans and pallas_ok
         # --- wire tables (identical to decode_fused / _seg)
         shifts32 = jnp.arange(32, dtype=jnp.uint32)
         off_mask = (
@@ -229,7 +233,7 @@ def build_grid_decode(prog, geo, sched, nl: int, C: int):
             zero_hist, lap, bits0=wire_bits, off_mask_in=off_mask,
             scale_idx=scpk,
         )
-        if use_pallas_rans:
+        if use_kernel:
             from ..ops.pallas_rans import (
                 prepare_scan_tables,
                 stream_pad_len,
@@ -262,7 +266,7 @@ def build_grid_decode(prog, geo, sched, nl: int, C: int):
                 C, rows, nl
             ).transpose(1, 0, 2)  # [rows, C, NL]
 
-            if use_pallas_rans:
+            if use_kernel:
                 from ..ops.pallas_rans import decode_scan_wave
 
                 syms, x, gptr = decode_scan_wave(

@@ -921,6 +921,7 @@ class CodecProgram:
                 self._decode_fused = build_grid_decode(
                     self, geo, sched, nl, C
                 )
+                self._grid_dense = True
             except AssertionError:
                 # tiny shapes (< ~32 px a side): too few cells per
                 # mod-4 residue class for the lattice parent-map affine
@@ -1023,12 +1024,26 @@ class CodecProgram:
             fn = self._dec_jit.get(key)
             if fn is None:
                 dec = self._decode_fused
-                fn = jax.jit(
-                    jax.vmap(
-                        lambda *a: dec(*a, lut_bits=lut_bits),
-                        in_axes=(0,) * 9 + (None,) * 10,
+                if B == 1 and getattr(self, "_grid_dense", False):
+                    # unbatched call: B=1 needs no vmap, and only the
+                    # unbatched path may route through the whole-wave
+                    # Pallas rANS kernel (its manual-DMA stream operand
+                    # cannot lower under vmap batching)
+                    def fn_single(*a):
+                        first = [x[0] for x in a[:9]]
+                        return dec(
+                            *first, *a[9:], lut_bits=lut_bits,
+                            pallas_ok=True,
+                        )[None]
+
+                    fn = jax.jit(fn_single)
+                else:
+                    fn = jax.jit(
+                        jax.vmap(
+                            lambda *a: dec(*a, lut_bits=lut_bits),
+                            in_axes=(0,) * 9 + (None,) * 10,
+                        )
                     )
-                )
                 self._dec_jit[key] = fn
         return fn(
             states, stream, wire_bits, offpk, scales, vp, wp, qdiv, tids,

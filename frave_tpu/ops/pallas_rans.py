@@ -113,18 +113,6 @@ def _cumsum_lanes(v):
     return v
 
 
-def _cumsum_sub(v):
-    """Inclusive prefix sum along the sublane axis of [n, 1] i32."""
-    n = v.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    k = 1
-    while k < n:
-        sh = pltpu.roll(v, k, 0)
-        v = v + jnp.where(row >= k, sh, 0)
-        k *= 2
-    return v
-
-
 def _u32(v_i32):
     return pltpu.bitcast(v_i32, jnp.uint32)
 
@@ -159,11 +147,10 @@ def _decode_kernel(
     ca = CONTEXT_AMOUNT
     cnl = C * NL
     chunk = min(CHUNK, NL)
-    # renorm block: largest divisor of cnl that is <= RBLK and a
-    # multiple of 128 (cnl = C * NL, NL a power of two >= 128)
-    rblk = RBLK
-    while cnl % rblk:
-        rblk //= 2
+    # renorm block: largest divisor of NL that is <= RBLK (NL is a
+    # power of two >= 128, so rblk = min(RBLK, NL)); blocks are static
+    # per-row lane slices
+    rblk = min(RBLK, NL)
     win = _win_len(cnl)
 
     @pl.when(r == 0)
@@ -251,45 +238,58 @@ def _decode_kernel(
                 + _u32(sl - cd).reshape(chunk)
             )
 
-    # --- renorm: prefix rank among needing lanes; words routed per
-    # block from dynamically rolled windows (rank is monotone, so each
-    # block's words are contiguous)
+    # --- renorm: global rank among needing lanes; words routed per
+    # (row, block) from dynamically rolled windows (rank is monotone,
+    # so each block's words are contiguous). Blocks are STATIC slices
+    # of the [C, NL] mask — a (C, NL) -> (nblk, rblk) reshape merges
+    # sublane+lane dims, which Mosaic's layout inference rejects at
+    # production widths ((3,16384)->(96,512) "unsupported shape cast",
+    # probed on-device round 4; the small test shapes never hit it).
     x_new = xn_s[:]
     act2 = jnp.broadcast_to((act > 0).reshape(1, NL), (C, NL))
     need = act2 & (x_new < jnp.uint32(RANS_L))
-    nblk = cnl // rblk
-    nf = need.reshape(nblk, rblk).astype(jnp.int32)
-    within = _cumsum_lanes(nf)  # [nblk, rblk] inclusive
-    totals = within[:, rblk - 1 : rblk]  # [nblk, 1]
-    bbase = _cumsum_sub(totals) - totals  # exclusive block bases
+    row_cum = _cumsum_lanes(need.astype(jnp.int32))  # [C, NL] per-row
     dma.wait()
     win2 = win_s[:].reshape(1, win)
-    wcols = []
-    for b in range(nblk):
-        lpos = jnp.clip(within[b : b + 1, :] - 1, 0, rblk - 1)  # [1,rblk]
-        shift = off + bbase[b, 0]
-        # roll LEFT by shift, expressed as a positive right-roll:
-        # pltpu.roll with a traced NEGATIVE shift is miscompiled on this
-        # jax/Mosaic build (off by 2048 lanes — probed on-device, round
-        # 4); positive traced shifts are correct. shift < win always
-        # (off < ALIGN, bbase <= cnl, win >= cnl + ALIGN + RBLK).
-        wblk = pltpu.roll(win2, win - shift, 1)[:, :rblk].astype(
-            jnp.float32
-        )
-        ohp = (
-            lpos.reshape(rblk, 1)
-            == jax.lax.broadcasted_iota(jnp.int32, (rblk, rblk), 1)
-        ).astype(jnp.float32)
-        wcol = jax.lax.dot_general(
-            ohp, wblk.reshape(rblk, 1), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [rblk, 1]
-        wcols.append(wcol.astype(jnp.int32).reshape(1, rblk))
-    wv = _u32(jnp.concatenate(wcols, axis=0).reshape(C, NL))
+    jblk = NL // rblk
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (rblk, rblk), 1)
+    rows_out = []
+    base_c = jnp.zeros((1, 1), jnp.int32)  # needing lanes before row c
+    for c in range(C):
+        row = row_cum[c : c + 1]  # [1, NL] inclusive within-row prefix
+        cols = []
+        for j in range(jblk):
+            seg = row[:, j * rblk : (j + 1) * rblk]  # [1, rblk]
+            pre = (
+                row[:, j * rblk - 1 : j * rblk]
+                if j
+                else jnp.zeros((1, 1), jnp.int32)
+            )
+            base = base_c + pre  # global exclusive base of this block
+            lpos = jnp.clip(seg - pre - 1, 0, rblk - 1)
+            shift = off + base[0, 0]
+            # roll LEFT by shift, expressed as a positive right-roll:
+            # pltpu.roll with a traced NEGATIVE shift is miscompiled on
+            # this jax/Mosaic build (off by 2048 lanes — probed
+            # on-device, round 4); positive traced shifts are correct.
+            # shift < win always (off < ALIGN, base <= cnl,
+            # win >= cnl + ALIGN + RBLK).
+            wblk = pltpu.roll(win2, win - shift, 1)[:, :rblk].astype(
+                jnp.float32
+            )
+            ohp = (lpos.reshape(rblk, 1) == iota_r).astype(jnp.float32)
+            wcol = jax.lax.dot_general(
+                ohp, wblk.reshape(rblk, 1), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [rblk, 1]
+            cols.append(wcol.astype(jnp.int32).reshape(1, rblk))
+        rows_out.append(jnp.concatenate(cols, axis=1))  # [1, NL]
+        base_c = base_c + row[:, NL - 1 : NL]
+    wv = _u32(jnp.concatenate(rows_out, axis=0))  # [C, NL]
     x_new = jnp.where(need, (x_new << jnp.uint32(WORD_BITS)) | wv, x_new)
     x_s[:] = jnp.where(act2, x_new, x)
-    gp_s[0] = gptr + bbase[nblk - 1, 0] + totals[nblk - 1, 0]
+    gp_s[0] = gptr + base_c[0, 0]
 
     @pl.when(r == R - 1)
     def _():
