@@ -53,7 +53,7 @@ def refbase_mp_s(imgs, reps=2) -> dict:
 
 def run_uniform(tag, h, w, c, n, bs, reps):
     corpus = np.stack([make_image(h, w, c, seed=i) for i in range(n)])
-    out = {"config": tag, "mode": os.environ.get("FRAVE_BENCH_MODE", "parallel")}
+    out = {"config": tag, "mode": bench._bench_opts().mode}
     out["wall_rt_mp_s"] = round(bench.bench_jax(corpus, reps=reps, batch_size=bs), 3)
     enc, dec = bench.bench_split(corpus, reps=max(2, reps - 1), batch_size=bs)
     out["wall_enc_mp_s"], out["wall_dec_mp_s"] = round(enc, 3), round(dec, 3)
