@@ -64,7 +64,7 @@ def main():
 
     (leaf_safe, leaf_mask, sc, snbr_safe, slf, sgrp, sfbkt, lap, glog2,
      gzero) = prog._enc_args
-    perm = prog._perm
+    perm = prog._inv_perm  # decode-rank sort key (stream_compact)
     group_ranges = prog._group_ranges
 
     qm = quantization_matrix(EncoderOptions().quality)
@@ -177,7 +177,7 @@ def main():
 
     def stage_full(pixels, qdiv):
         states, words, flags = stage_scan(pixels, qdiv)
-        stream, total = stream_compact(words, flags, perm)
+        stream, total = stream_compact(words, flags, perm, kc=prog.kc)
         return states, stream, total
 
     stages = [

@@ -95,9 +95,12 @@ def collective_count():
 
 
 def crossover_model():
-    """Measured split at 2048x2048 RGB (BASELINE.md round 4)."""
-    fixed_ms = 6.8  # replicated per shard: plane gather/scatter + step machinery
-    lane_ms = 3.2  # lane-proportional rANS ALU share
+    """Measured split at 2048x2048 RGB (BASELINE.md round 4):
+    ~3.3 ms/step total = ~2.8 ms replicated plane gather/scatter +
+    step machinery + ~0.5 ms lane ALU (round-3 scan-floor isolation:
+    0.322 s over 647 grid rows)."""
+    fixed_ms = 2.8  # replicated per shard: plane gather/scatter + step machinery
+    lane_ms = 0.5  # lane-proportional rANS ALU share
     ici_ms = 0.005  # KB-scale all-gather on ICI (scaling-book latency floor)
     single = fixed_ms + lane_ms
     rows = {}
@@ -108,19 +111,18 @@ def crossover_model():
             "speedup": round(single / per_step, 3),
         }
     return {
-        "model": "per_step = fixed(6.8ms, replicated) + lane(3.2ms)/n + ici(5us)",
+        "model": "per_step = fixed(2.8ms, replicated) + lane(0.5ms)/n + ici(5us)",
         "single_chip_ms_per_step": single,
         "tp": rows,
         "verdict": (
-            "mode=parallel TP decode tops out at ~1.45x regardless of n: "
+            "mode=parallel TP decode tops out at ~1.2x regardless of n: "
             "the replicated coefficient-plane gather/scatter dominates. "
             "Crossover vs a second INDEPENDENT image decoded on the other "
             "chip (DP, 2.0x) is never reached - use TPShardedDecoder only "
             "when one image exceeds single-chip memory, or with mode=grid "
-            "where the gather/scatter floor is gone and the lane share "
-            "dominates (grid rows are ~3.2ms of pure lane ALU, so TP "
-            "sharding them approaches n-fold until the ~0.9ms/step bulk "
-            "share floors it)."
+            "where the gather/scatter floor is gone and TP sharding the "
+            "~0.5ms/row lane ALU approaches n-fold on the scan share "
+            "before the per-wave bulk ops floor it."
         ),
     }
 
