@@ -53,7 +53,10 @@ W32 = 32  # coarse/fine split of the 1024-symbol alphabet
 RANS_L = 1 << 16
 WORD_BITS = 16
 
-CHUNK = 1024  # lane-chunk of the fine-window one-hot matmul
+CHUNK = 256  # lane-chunk of the fine-window one-hot matmul (sized so
+# the unrolled chunks' [CHUNK, CA*32] one-hot temporaries fit Mosaic's
+# 16MB VMEM stack — the allocator keeps several unrolled regions live
+# at once; 1024 OOM'd at C=3, NL=2048: 18.97M > 16M, probed on-device)
 RBLK = 512  # renorm word-routing block
 ALIGN = 1024  # DMA offset/length tiling for i32 HBM slices
 
