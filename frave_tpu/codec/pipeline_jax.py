@@ -500,24 +500,49 @@ class CodecProgram:
             buckets = jnp.where(sfbkt[None] >= 0, sfbkt[None], buckets)
             symbols = J.pack_signed(target - preds)  # [C, K] int32
 
-            ids = (
-                jnp.arange(C, dtype=jnp.int32)[:, None]
-                * (CONTEXT_AMOUNT * ALPHABET_SIZE)
-                + buckets * ALPHABET_SIZE
-                + jnp.clip(symbols, 0, ALPHABET_SIZE - 1)
-            )
-            # histogram scatter-add. Round-3 alternatives measured WORSE
-            # on this TPU: pre-sorted ids + indices_are_sorted (64ms
-            # device vs 59.5), searchsorted 'scan' bin-edge counting
-            # (162ms: per-iteration gathers), searchsorted 'sort' (65ms).
-            # The plain random scatter runs ~8.5ns/element and is the
-            # remaining encode hot spot (~36ms of ~60ms device at B=64).
-            hist = (
-                jnp.zeros(C * CONTEXT_AMOUNT * ALPHABET_SIZE, jnp.int32)
-                .at[ids.reshape(-1)]
-                .add(1)
-                .reshape(C, CONTEXT_AMOUNT, ALPHABET_SIZE)
-            )
+            if K >= (1 << 20):
+                # MXU one-hot histogram (round 4): hist[c,b,s] =
+                # onehot_bkt[c,:,b] . onehot_sym[c,:,s] — XLA fuses the
+                # one-hot generation into the contraction (no [C,K,1024]
+                # materialization) and f32 accumulation is exact
+                # (counts <= K < 2^24). Measured on-chip A/B at
+                # K=4.2M C=3: 58 ms vs the scatter's 113 ms; at the
+                # headline K=33k B=64 the two are a wash (54.7 vs 58.1)
+                # so small shapes keep the scatter below.
+                ohb = jnp.asarray(
+                    buckets[..., None]
+                    == jnp.arange(CONTEXT_AMOUNT, dtype=jnp.int32),
+                    jnp.bfloat16,
+                )
+                ohs = jnp.asarray(
+                    jnp.clip(symbols, 0, ALPHABET_SIZE - 1)[..., None]
+                    == jnp.arange(ALPHABET_SIZE, dtype=jnp.int32),
+                    jnp.bfloat16,
+                )
+                hist = jnp.einsum(
+                    "ckb,cks->cbs", ohb, ohs,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)
+            else:
+                ids = (
+                    jnp.arange(C, dtype=jnp.int32)[:, None]
+                    * (CONTEXT_AMOUNT * ALPHABET_SIZE)
+                    + buckets * ALPHABET_SIZE
+                    + jnp.clip(symbols, 0, ALPHABET_SIZE - 1)
+                )
+                # histogram scatter-add. Round-3 alternatives measured
+                # WORSE on this TPU: pre-sorted ids +
+                # indices_are_sorted (64ms device vs 59.5), searchsorted
+                # 'scan' bin-edge counting (162ms: per-iteration
+                # gathers), searchsorted 'sort' (65ms). The plain random
+                # scatter runs ~8.5ns/element (~36ms of ~60ms device at
+                # B=64).
+                hist = (
+                    jnp.zeros(C * CONTEXT_AMOUNT * ALPHABET_SIZE, jnp.int32)
+                    .at[ids.reshape(-1)]
+                    .add(1)
+                    .reshape(C, CONTEXT_AMOUNT, ALPHABET_SIZE)
+                )
 
             # --- context tables on device (exact host twin); v9 first
             # picks the best-fitting Laplace grid scale per context
