@@ -257,25 +257,49 @@ def decode_pipeline_np(image: CompressedImage) -> RasterImage:
         np.stack(all_bits),
     )
 
-    # Level-synchronous wavefront decode: each step advances all lanes of
-    # every channel once (SURVEY.md section 3.2's wavefront made explicit);
-    # channels advance in ascending order — the global stream's word order.
-    for s in range(steps.num_steps):
-        coef_slots = steps.step_coef[s].astype(np.int64)  # [NL]
-        active = coef_slots >= 0
-        nbr = steps.step_nbr[s].astype(np.int64)  # [NL, 6]
-        lf = steps.step_lf[s]
-        group = steps.step_group[s].astype(np.int64)
-        fb = steps.step_fbkt[s].astype(np.int64)
+    # Level-synchronous wavefront decode (SURVEY.md section 3.2's
+    # wavefront made explicit). Context taps only ever reference
+    # symbols from EARLIER waves (the schedule's waves are the decode
+    # dependency layers in every mode), so neighbour gathers and
+    # context math hoist to ONE bulk call per (wave, channel) — the
+    # same structure as the jax grid decoder — while the rANS state
+    # machine still advances row by row in the global stream's
+    # (step, channel, lane) word order (round 4: ~4x fewer numpy calls
+    # than the per-step version).
+    wave_of = steps.step_wave.astype(np.int64)
+    wstart = np.concatenate(
+        [[0], np.cumsum(sched.wave_sizes.astype(np.int64))]
+    )
+    s = 0
+    while s < steps.num_steps:
+        wv = int(wave_of[s])
+        s1 = s
+        while s1 < steps.num_steps and int(wave_of[s1]) == wv:
+            s1 += 1
+        k0, k1 = int(wstart[wv]), int(wstart[wv + 1])
+        nbr_w = sched.sched_nbr[k0:k1].astype(np.int64)
+        lf_w = sched.sched_lf[k0:k1]
+        grp_w = sched.sched_group[k0:k1].astype(np.int64)
+        fb_w = sched.sched_fbkt[k0:k1].astype(np.int64)
+        coef_w = sched.sched_coef[k0:k1].astype(np.int64)
+        bks, prs = [], []
         for ch in range(C):
-            vals = gather_neighbour_values(qflat[ch], nbr)
-            buckets, preds = contexts_np(vals, lf, group, vparams[ch], wparams[ch])
-            buckets = np.where(fb >= 0, fb, buckets.astype(np.int64))
-            bk = np.where(active, buckets, -1)
-            syms = decoder.decode_step(ch, bk)
-            residuals = unpack_signed(syms)
-            values = residuals + preds.astype(np.int64)
-            qflat[ch][coef_slots[active]] = values[active]
+            vals = gather_neighbour_values(qflat[ch], nbr_w)
+            buckets, preds = contexts_np(
+                vals, lf_w, grp_w, vparams[ch], wparams[ch]
+            )
+            bks.append(np.where(fb_w >= 0, fb_w, buckets.astype(np.int64)))
+            prs.append(preds.astype(np.int64))
+        for srow in range(s, s1):
+            slots = steps.step_slot[srow].astype(np.int64)  # [NL] k | -1
+            active = slots >= 0
+            ks = np.where(active, slots - k0, 0)
+            for ch in range(C):
+                bk = np.where(active, bks[ch][ks], -1)
+                syms = decoder.decode_step(ch, bk)
+                values = unpack_signed(syms) + prs[ch][ks]
+                qflat[ch][coef_w[ks[active]]] = values[active]
+        s = s1
 
     qcoef = qflat.reshape(C, geo.num_tiles, geo.nodes_per_tile)
     qm = np.asarray(image.quantization_matrix, dtype=np.int32)
