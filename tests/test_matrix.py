@@ -49,3 +49,30 @@ def test_lossy_matrix_rgb(mode, quality):
     np.testing.assert_array_equal(out_np.data, out_jx.data)
     err = np.abs(out_np.data.astype(np.int32) - img.data.astype(np.int32))
     assert err.max() < 64
+
+
+def test_grid_stream_perm_monotone():
+    """grid mode's decode word order equals the flat [R, C, NL] grid
+    order (packed rows) — the invariant behind the lane-grid reshapes
+    and the wave-sequential scans; parallel mode's perm is NOT
+    monotone (waves pack densely across lane-row boundaries)."""
+    import numpy as np
+
+    from frave_tpu.fractal.schedule import get_stream_perm
+
+    pm = get_stream_perm(64, 96, 64, mode="grid", channels=3)
+    assert np.all(np.diff(pm.astype(np.int64)) > 0)
+
+
+def test_rate_adaptive_lanes():
+    from frave_tpu.fractal.schedule import rate_adaptive_lanes
+
+    # tiny payload -> floor 256 (never above the throughput default)
+    assert rate_adaptive_lanes(4096, 1300.0, 1) == 256
+    # payload large enough: keep the default
+    assert rate_adaptive_lanes(4096, 1e7, 1) == 4096
+    # scales with channel count (overhead is per lane PER channel)
+    assert rate_adaptive_lanes(4096, 140_000.0, 1) == 4096
+    assert rate_adaptive_lanes(4096, 140_000.0, 3) < 4096
+    # never raises a small default
+    assert rate_adaptive_lanes(64, 1e9, 1) == 64
