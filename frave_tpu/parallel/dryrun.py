@@ -83,11 +83,13 @@ def run_dryrun(n_devices: int) -> None:
     out = FRIDecoder(backend="numpy").decode(blobs[0])
     np.testing.assert_array_equal(out.data, batch[0])
 
-    # grid-mode wire through the same dp x tp sharded paths (round 4)
+    # both wire layouts through the same dp x tp sharded paths: the
+    # default legs above run mode=grid (the round-4 default), this leg
+    # validates the parallel (step-tensor) wire too
     genc = ShardedEncoder(
-        height=h, width=w, channels=C, batch=B, mesh=mesh, mode="grid"
+        height=h, width=w, channels=C, batch=B, mesh=mesh, mode="parallel"
     )
-    gblobs = genc.encode_batch(batch, EncoderOptions(mode="grid"))
+    gblobs = genc.encode_batch(batch, EncoderOptions(mode="parallel"))
     gouts = dec.decode_batch(gblobs)
     for i in range(B):
         np.testing.assert_array_equal(gouts[i].data, batch[i])
