@@ -62,31 +62,14 @@ class FRIEncoder:
 
     def _encode_one(self, image, backend, opts) -> bytes:
         if backend == "jax":
+            # rate-adaptive lanes for flat content are handled inside
+            # the jax pipeline from the device-computed expected code
+            # length (pipeline_jax._maybe_reencode_flat — single
+            # statistics pass, covers batch/stream/trial too; ADVICE r4)
             from .pipeline_jax import encode_pipeline_jax
 
-            compressed = encode_pipeline_jax(image, opts)
-            blob = serialize(compressed)
-            if opts.num_lanes is None and self._lanes_dominate(compressed):
-                # flat/graphic content: the jax pipeline's static lane
-                # count is throughput-sized and its per-lane wire
-                # overhead (~2-4 B/lane/channel) dwarfs the payload —
-                # re-encode through the numpy path, which picks a
-                # rate-adaptive lane count (schedule.rate_adaptive_lanes)
-                # from the exact expected code length. Single-image
-                # rate-focused API only; the batch/stream pipelines keep
-                # static shapes.
-                return serialize(encode_pipeline_np(image, opts))
-            return blob
+            return serialize(encode_pipeline_jax(image, opts))
         return serialize(encode_pipeline_np(image, opts))
-
-    @staticmethod
-    def _lanes_dominate(compressed) -> bool:
-        """Per-lane wire overhead (~3 B/lane/channel: STT states +
-        flush rounding) above ~25% of the entropy-coded payload."""
-        stream = compressed.stream
-        payload = 2 * (int(stream.shape[0]) if stream is not None else 0)
-        nch = sum(cd is not None for cd in compressed.channel_data)
-        return 12 * nch * compressed.num_lanes > payload
 
     def _encode_trial(self, image, backend) -> bytes:
         """color_transform="trial": encode with every candidate transform

@@ -62,7 +62,12 @@ from ..entropy.tables import (
 )
 from ..entropy.tables_jax import finalize_contexts_device, select_scales_device
 from ..fractal.geometry import BASE_FRAC_DEPTH, get_geometry
-from ..fractal.schedule import default_num_lanes, get_lane_steps, get_schedule
+from ..fractal.schedule import (
+    default_num_lanes,
+    get_lane_steps,
+    get_schedule,
+    rate_adaptive_lanes,
+)
 from ..ops import jax_ops as J
 from ..ops.rans_jax import (
     LUT_BITS,
@@ -248,7 +253,8 @@ class CodecProgram:
         self.kcp2 = (KC + 1) // 2
         self.num_fine = sched.num_fine
         self.legacy_of_fine = sched.legacy_of_fine.astype(np.int64)
-        self.chan_hdr = 12 * sched.num_fine + _HDR_TABLES + nl
+        # + 1: per-channel expected-code-length f32 (rate-adaptive lanes)
+        self.chan_hdr = 12 * sched.num_fine + _HDR_TABLES + nl + 1
         self.hdr_words = C * self.chan_hdr + 1  # + global total
 
         # ---- device-resident geometry/schedule tensors (uploaded once) ----
@@ -500,12 +506,16 @@ class CodecProgram:
             buckets = jnp.where(sfbkt[None] >= 0, sfbkt[None], buckets)
             symbols = J.pack_signed(target - preds)  # [C, K] int32
 
-            if K >= (1 << 20):
+            if (1 << 20) <= K < (1 << 24):
                 # MXU one-hot histogram (round 4): hist[c,b,s] =
                 # onehot_bkt[c,:,b] . onehot_sym[c,:,s] — XLA fuses the
                 # one-hot generation into the contraction (no [C,K,1024]
                 # materialization) and f32 accumulation is exact
-                # (counts <= K < 2^24). Measured on-chip A/B at
+                # because counts <= K < 2^24 — the upper bound gates the
+                # branch (ADVICE r4): at K >= 2^24 (~4096x4096+) skewed
+                # bins would saturate f32 and silently undercount, so
+                # those shapes take the exact i32 scatter below.
+                # Measured on-chip A/B at
                 # K=4.2M C=3: 58 ms vs the scatter's 113 ms; at the
                 # headline K=33k B=64 the two are a wash (54.7 vs 58.1)
                 # so small shapes keep the scatter below.
@@ -550,6 +560,27 @@ class CodecProgram:
             bits, freqs, cdfs, off_mask = finalize_contexts_device(
                 hist, lap, scale_idx=scales
             )
+
+            # exact expected code length under the finalized tables
+            # (pipeline_np's est_bits twin, on device): coded symbols
+            # always have freq > 0, so hist > 0 implies freq > 0. One
+            # f32 word per channel rides the header; the host uses it
+            # for the rate-adaptive lane re-encode on flat content
+            # (ADVICE r4 — replaces the encode-twice numpy fallback).
+            exp_bits = jnp.sum(
+                jnp.where(
+                    hist > 0,
+                    hist.astype(jnp.float32)
+                    * (
+                        bits.astype(jnp.float32)[..., None]
+                        - jnp.log2(
+                            jnp.maximum(freqs.astype(jnp.float32), 1.0)
+                        )
+                    ),
+                    0.0,
+                ),
+                axis=(1, 2),
+            )  # [C] f32
 
             # --- rANS encode over [R, C, NL] grids
             pad = R * nl - K
@@ -612,6 +643,7 @@ class CodecProgram:
                     _i32(ompk).reshape(C, -1),
                     scales.astype(jnp.int32),
                     _i32(states),
+                    _i32(exp_bits)[:, None],
                 ],
                 axis=1,
             )  # [C, chan_hdr]
@@ -940,6 +972,7 @@ class CodecProgram:
             # gather per wave, the scan body is the bare rANS state
             # machine. FRAVE_GRID_STEPDEC=1 falls back to the
             # step-tensor scan (same wire) for A/B timing.
+            from ..fractal.lattice import DenseGridUnavailable
             from .grid_decode import build_grid_decode
 
             try:
@@ -947,12 +980,13 @@ class CodecProgram:
                     self, geo, sched, nl, C
                 )
                 self._grid_dense = True
-            except AssertionError:
+            except DenseGridUnavailable:
                 # tiny shapes (< ~32 px a side): too few cells per
                 # mod-4 residue class for the lattice parent-map affine
                 # fit (fractal/lattice.py) — the step-tensor decoder
                 # handles the same grid wire, just without the dense
-                # fast path
+                # fast path. Internal consistency AssertionErrors
+                # (lane-layout mismatches) propagate (ADVICE r4).
                 pass
         self._enc_jit: Dict[int, callable] = {}
         self._dec_jit: Dict[int, callable] = {}
@@ -1122,9 +1156,10 @@ def _unpack_channels(
     head: np.ndarray, stream: np.ndarray, prog: CodecProgram
 ):
     """One image's fetched header row + exact-size stream -> container
-    fields. Returns (channel_data list, stream u16)."""
+    fields. Returns (channel_data list, stream u16, est_payload_bytes)."""
     C, nl = prog.channels, prog.nl
     out = []
+    est_bits = 0.0
     arr = head[: C * prog.chan_hdr].reshape(C, prog.chan_hdr)
     for c in range(C):
         v = arr[c]
@@ -1138,6 +1173,7 @@ def _unpack_channels(
         o += nmask
         scales = v[o : o + CONTEXT_AMOUNT].copy(); o += CONTEXT_AMOUNT
         states = v[o : o + nl].view(np.uint32).copy(); o += nl
+        est_bits += float(v[o : o + 1].view(np.float32)[0]); o += 1
 
         contexts = []
         for b in range(CONTEXT_AMOUNT):
@@ -1164,7 +1200,7 @@ def _unpack_channels(
                 width_prediction_parameters=wp,
             )
         )
-    return out, stream
+    return out, stream, est_bits / 8.0
 
 
 def _encode_dispatch(images: List[RasterImage], opts: EncoderOptions):
@@ -1287,7 +1323,9 @@ def _encode_finish(prog, packed_dev, qm, meta, opts) -> List[CompressedImage]:
             "encode/bpp",
             16.0 * total_b / (prog.height * prog.width),
         )
-        channel_data, stream_b = _unpack_channels(head[b], stream_b, prog)
+        channel_data, stream_b, est_payload = _unpack_channels(
+            head[b], stream_b, prog
+        )
         out.append(
             CompressedImage(
                 metadata=meta,
@@ -1298,9 +1336,45 @@ def _encode_finish(prog, packed_dev, qm, meta, opts) -> List[CompressedImage]:
                 mode=opts.mode,
                 stream=stream_b,
                 transform=0 if transforms is None else transforms[b],
+                est_payload_bytes=est_payload,
             )
         )
     return out
+
+
+def _maybe_reencode_flat(
+    images: List[RasterImage],
+    cis: List[CompressedImage],
+    opts: EncoderOptions,
+) -> List[CompressedImage]:
+    """Rate fix for flat/graphic content in ONE statistics pass (ADVICE
+    r4): the fused encode already computed each image's exact expected
+    code length on device (est_payload_bytes header word, zero extra
+    fetch). Where per-lane wire overhead would dominate that payload,
+    re-encode just those images at the rate-adaptive lane count through
+    the same jax pipeline (pipeline_np applies the identical policy,
+    schedule.rate_adaptive_lanes). Natural content never triggers this —
+    its payload dwarfs the lane block — so the throughput paths pay only
+    this host-side check. Covers batch, stream and (via batch) the
+    single-image and trial-transform surfaces."""
+    if opts.num_lanes is not None:
+        return cis  # caller pinned lanes — nothing to adapt (also the
+        # recursion guard for the re-encode below)
+    groups: Dict[int, List[int]] = {}
+    for i, ci in enumerate(cis):
+        est = ci.est_payload_bytes
+        if est is None:
+            continue
+        C = ci.metadata.num_channels
+        nl = rate_adaptive_lanes(ci.num_lanes, est, C)
+        if nl < ci.num_lanes:
+            groups.setdefault(nl, []).append(i)
+    for nl, idxs in groups.items():
+        o2 = dataclasses.replace(opts, num_lanes=nl)
+        redo = encode_pipeline_jax_batch([images[i] for i in idxs], o2)
+        for i, ci in zip(idxs, redo):
+            cis[i] = ci
+    return cis
 
 
 def encode_pipeline_jax_batch(
@@ -1308,7 +1382,8 @@ def encode_pipeline_jax_batch(
 ) -> List[CompressedImage]:
     """Encode a batch of SAME-SHAPE images in one device dispatch + fetch."""
     prog, packed_dev, qm, meta = _encode_dispatch(images, opts)
-    return _encode_finish(prog, packed_dev, qm, meta, opts)
+    cis = _encode_finish(prog, packed_dev, qm, meta, opts)
+    return _maybe_reencode_flat(images, cis, opts)
 
 
 def encode_pipeline_jax_stream(
@@ -1334,7 +1409,7 @@ def encode_pipeline_jax_stream(
     if pending is not None:
         with stage_timer("encode/finish"):
             out.extend(_encode_finish(*pending, opts))
-    return out
+    return _maybe_reencode_flat(images, out, opts)
 
 
 def encode_pipeline_jax(image: RasterImage, opts: EncoderOptions) -> CompressedImage:

@@ -154,3 +154,8 @@ class CompressedImage:
     # channel-transform id applied before coding (format v7; see
     # codec/channel_transform.py T_* constants)
     transform: int = 0
+    # transient (NOT serialized): exact expected entropy-coded payload
+    # under the finalized tables, computed on device by the jax encode —
+    # drives the rate-adaptive lane re-encode for flat content
+    # (pipeline_jax._maybe_reencode_flat, ADVICE r4)
+    est_payload_bytes: Optional[float] = None

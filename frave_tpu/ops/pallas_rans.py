@@ -155,6 +155,16 @@ def _decode_kernel(
     # per-row lane slices
     rblk = min(RBLK, NL)
     win = _win_len(cnl)
+    # HOST-SIDE (trace-time) guard for the renorm roll below (ADVICE
+    # r4): the positive right-roll `win - shift` is only correct while
+    # shift = off + base < win, i.e. off_max + cnl < win (off < ALIGN,
+    # base <= cnl). A future _win_len change that violates this would
+    # reproduce the silent negative-roll miscompile; fail the build
+    # loudly instead.
+    assert (ALIGN - 1) + cnl < win, (
+        f"renorm window too small: off_max+cnl={ALIGN - 1 + cnl} >= "
+        f"win={win} — pltpu.roll shift could exceed the window"
+    )
 
     @pl.when(r == 0)
     def _():

@@ -434,7 +434,8 @@ class ShardedEncoder:
         from ..fractal.schedule import get_stream_perm
         from ..ops.rans_jax import stream_compact
 
-        self.chan_hdr = 12 * self.num_fine + _HDR_TABLES + nl
+        # + 1: per-channel expected-code-length f32 (rate-adaptive lanes)
+        self.chan_hdr = 12 * self.num_fine + _HDR_TABLES + nl + 1
         self.hdr_words = C * self.chan_hdr + 1
         KC = K * C  # global decode-order stream length (unpadded symbols)
         kcp2 = (KC + 1) // 2
@@ -450,13 +451,33 @@ class ShardedEncoder:
             # hist [B, C, CA, 1024] -> device tables for entropy + wire;
             # v9 picks the best Laplace grid scale per context first
             scales = select_scales_device(hist, glog2_dev, gzero_dev)
-            return finalize_contexts_device(hist, lap_dev, scale_idx=scales) + (
-                scales,
+            bits, freqs, cdfs, off_mask = finalize_contexts_device(
+                hist, lap_dev, scale_idx=scales
             )
+            # expected code length per channel (header word; see
+            # pipeline_jax.encode_fused exp_bits)
+            eb = jnp.sum(
+                jnp.where(
+                    hist > 0,
+                    hist.astype(jnp.float32)
+                    * (
+                        bits.astype(jnp.float32)[..., None]
+                        - jnp.log2(
+                            jnp.maximum(freqs.astype(jnp.float32), 1.0)
+                        )
+                    ),
+                    0.0,
+                ),
+                axis=(-2, -1),
+            )  # [B, C]
+            return bits, freqs, cdfs, off_mask, scales, eb
 
         self._finalize = jax.jit(finalize_tables)
 
-        def pack_one(states, words, flags, bits, off_mask, scales, vparams, wparams):
+        def pack_one(
+            states, words, flags, bits, off_mask, scales, vparams,
+            wparams, eb,
+        ):
             # single image: states [C, NL], words/flags [R, C, NL],
             # bits [C, CA], off_mask [C, CA, 1024] -> packed i32 vector
             # (same layout as pipeline_jax.encode_fused:319-332)
@@ -479,14 +500,19 @@ class ShardedEncoder:
                     _i32(ompk).reshape(C, -1),
                     scales.astype(jnp.int32),
                     _i32(states),
+                    _i32(eb)[:, None],
                 ],
                 axis=1,
             )
             return jnp.concatenate([headers.reshape(-1), total[None], _i32(spk)])
 
-        def pack_batch(states, words, flags, bits, off_mask, scales, vparams, wparams):
-            return jax.vmap(pack_one, in_axes=(0, 1, 1, 0, 0, 0, 0, 0))(
-                states, words, flags, bits, off_mask, scales, vparams, wparams
+        def pack_batch(
+            states, words, flags, bits, off_mask, scales, vparams,
+            wparams, eb,
+        ):
+            return jax.vmap(pack_one, in_axes=(0, 1, 1, 0, 0, 0, 0, 0, 0))(
+                states, words, flags, bits, off_mask, scales, vparams,
+                wparams, eb,
             )
 
         self._pack = jax.jit(pack_batch)
@@ -568,7 +594,7 @@ class ShardedEncoder:
         # context-table finalization stays ON DEVICE (bit-exact twin of the
         # host tables, frave_tpu/entropy/tables_jax.py) — no B x C x 15
         # host loop at any batch size
-        bits, freqs, cdfs, off_mask, scales = self._finalize(hist)
+        bits, freqs, cdfs, off_mask, scales, eb = self._finalize(hist)
 
         R, nl = self.rows, self.nl
         if self._inv_dev is not None:
@@ -603,7 +629,8 @@ class ShardedEncoder:
         # on-device global-stream compaction + packed-container assembly;
         # the fetch/unpack path is shared with the single-chip pipeline
         packed = self._pack(
-            states, words, flags, bits, off_mask, scales, vparams, wparams
+            states, words, flags, bits, off_mask, scales, vparams,
+            wparams, eb,
         )
 
         from ..codec.pipeline_jax import _encode_finish

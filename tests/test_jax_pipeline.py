@@ -413,3 +413,37 @@ def test_legacy_wide_freq_bits_decode(monkeypatch):
     assert pick_lut_bits(bits) == LUT_BITS
     out = FRIDecoder(backend="jax").decode(blob)
     np.testing.assert_array_equal(out.data, img.data)
+
+
+def test_flat_content_adaptive_lanes_single_pass():
+    """ADVICE r4: flat content must get rate-adaptive lanes through the
+    jax BATCH path (previously only FRIEncoder.encode, via a full numpy
+    re-encode) — driven by the device-computed expected code length."""
+    from frave_tpu.codec.pipeline_jax import (
+        decode_pipeline_jax,
+        encode_pipeline_jax_batch,
+    )
+
+    flat = np.full((64, 96, 1), 77, dtype=np.uint8)
+    im = RasterImage.from_array(flat, ColorSpace.LUMA)
+    opts = EncoderOptions()
+    ci = encode_pipeline_jax_batch([im], opts)[0]
+    # est payload present, tiny; lanes shrunk to the rate-adaptive floor
+    assert ci.est_payload_bytes is not None
+    assert ci.est_payload_bytes < 1000.0
+    from frave_tpu.fractal.schedule import default_num_lanes, get_schedule
+
+    default = default_num_lanes(
+        get_schedule(64, 96, mode=opts.mode).num_symbols
+    )
+    assert ci.num_lanes <= min(default, 256)
+    assert np.array_equal(decode_pipeline_jax(ci).data, flat)
+
+    # natural content keeps throughput-sized lanes (no re-encode)
+    rng = np.random.default_rng(3)
+    nat = rng.integers(0, 255, (64, 96, 1), dtype=np.uint8)
+    ci2 = encode_pipeline_jax_batch(
+        [RasterImage.from_array(nat, ColorSpace.LUMA)], opts
+    )[0]
+    assert ci2.est_payload_bytes > 1000.0
+    assert np.array_equal(decode_pipeline_jax(ci2).data, nat)
