@@ -76,6 +76,8 @@ from ..ops.rans_jax import (
     decode_step_merged,
     encode_scan,
     stream_compact,
+    stream_compact_grid,
+    stream_compact_scatter,
 )
 from .options import EncoderOptions, quantization_matrix
 
@@ -330,6 +332,17 @@ class CodecProgram:
             self._wave_segs = segs
         else:
             self._wave_segs = None
+        # grid-mode stream-compaction strategy (round 5): "rows" =
+        # per-row u32 sort + offset scan (rans_jax.stream_compact_grid),
+        # "scatter" = prefix sum + one scatter, "sort" = the global
+        # (rank, word) two-operand sort. Default picked by on-chip A/B
+        # (BASELINE.md round-5); FRAVE_COMPACT overrides for
+        # re-measurement. Falls back to "sort" when the in-row rank
+        # would not fit 16 bits.
+        compact_mode = os.environ.get("FRAVE_COMPACT", "rows")
+        if compact_mode == "rows" and C * nl > (1 << 16):
+            compact_mode = "sort"
+        self._compact_mode = compact_mode
         st_coef = steps.step_coef.astype(np.int32)
         st_active = st_coef >= 0
         # ---- decode segments (parallel mode): one entry per schedule
@@ -374,6 +387,10 @@ class CodecProgram:
         )
 
         # ------------- fused encode (single image [HW, C]) -------------
+        # grid mode swaps the statistics stage for the dense shift-plane
+        # path (closure cell rebound below once the dense plans build)
+        grid_enc = None
+
         def encode_fused(
             pixels, tid, qdiv, vp_ovr, wp_ovr, use_ovr, use_wovr,
             leaf_safe, leaf_mask, sc, snbr_safe, slf, sgrp,
@@ -410,101 +427,133 @@ class CodecProgram:
                 # packed u32 plane: ONE bulk gather instead of three (see
                 # _pack3) — the [C, K, 6] neighbour read dominates encode
                 # at large shapes
-                qpk = jnp.concatenate(
+                qplane = jnp.concatenate(
                     [
                         _pack3(qcoef.reshape(3, n_slots)),
                         jnp.full((1,), _PACK_ZERO, jnp.uint32),
                     ]
                 )
-                vals = _unpack3(qpk[snbr_safe])  # [3, K, 6]
-                target = _unpack3(qpk[sc])  # [3, K]
             else:
                 # int16 coefficient plane: values are bounded (|coef| <=
                 # 511 for 8-bit input, preds clamp at +-255); int16
                 # halves the gather's HBM traffic, casts are exact.
-                qpad = jnp.concatenate(
+                qplane = jnp.concatenate(
                     [
                         qcoef.reshape(C, n_slots).astype(jnp.int16),
                         jnp.zeros((C, 1), jnp.int16),
                     ],
                     axis=1,
                 )
-                vals = qpad[:, snbr_safe].astype(jnp.int32)  # [C, K, 6]
-                target = qpad[:, sc].astype(jnp.int32)  # [C, K]
 
-            # --- predictor fits: per-group Gram over STATIC k-slices
-            # (groups are contiguous in schedule order — no masked design
-            # matrices, the reductions go straight to the MXU)
-            def feats(Xs):
-                return jnp.stack(
-                    [
-                        jnp.ones(Xs.shape[:-1], Xs.dtype),
-                        jnp.abs(Xs[..., 0] - Xs[..., 3]),
-                        jnp.abs(Xs[..., 1] - Xs[..., 2]),
-                        jnp.abs(Xs[..., 4] - Xs[..., 5]),
-                        jnp.abs(Xs[..., 1] - Xs[..., 5]),
-                        jnp.abs(Xs[..., 2] - Xs[..., 4]),
-                    ],
-                    axis=-1,
+            def step_stats():
+                """The step-tensor statistics path: bulk neighbour
+                gather + per-group Gram fits + vmapped contexts."""
+                if C == 3:
+                    vals = _unpack3(qplane[snbr_safe])  # [3, K, 6]
+                    target = _unpack3(qplane[sc])  # [3, K]
+                else:
+                    vals = qplane[:, snbr_safe].astype(jnp.int32)
+                    target = qplane[:, sc].astype(jnp.int32)  # [C, K]
+
+                # --- predictor fits: per-group Gram over STATIC
+                # k-slices (groups are contiguous in schedule order —
+                # no masked design matrices, the reductions go straight
+                # to the MXU)
+                def feats(Xs):
+                    return jnp.stack(
+                        [
+                            jnp.ones(Xs.shape[:-1], Xs.dtype),
+                            jnp.abs(Xs[..., 0] - Xs[..., 3]),
+                            jnp.abs(Xs[..., 1] - Xs[..., 2]),
+                            jnp.abs(Xs[..., 4] - Xs[..., 5]),
+                            jnp.abs(Xs[..., 1] - Xs[..., 5]),
+                            jnp.abs(Xs[..., 2] - Xs[..., 4]),
+                        ],
+                        axis=-1,
+                    )
+
+                # ALL fit einsums run at HIGHEST precision. Not for fit
+                # quality: the fitted params feed BOTH the bucket/symbol
+                # computation and the wire headers, and XLA may
+                # duplicate this subgraph into the two consumers with
+                # different precision decisions per instance (measured
+                # on the target TPU, round 2: default-precision vmapped
+                # einsums lower to bf16 on the MXU, and an image encoded
+                # with in-graph fits was self-INCONSISTENT — the header
+                # params differed from the params the symbols were
+                # formed with — while pinned-param encodes were
+                # bit-exact vs CPU). Exact contractions make every
+                # duplicated instance agree; the optimization_barrier
+                # below additionally pins ONE materialized value for
+                # both consumers.
+                _HI = jax.lax.Precision.HIGHEST
+                Gs, bs = [], []
+                for (lo, hi) in group_ranges:
+                    Xs = vals[:, lo:hi].astype(jnp.float32)  # [C, kg, 6]
+                    ys = target[:, lo:hi].astype(jnp.float32)
+                    Gs.append(
+                        jnp.einsum("ckx,cky->cxy", Xs, Xs, precision=_HI)
+                    )
+                    bs.append(
+                        jnp.einsum("ckx,ck->cx", Xs, ys, precision=_HI)
+                    )
+                G = jnp.stack(Gs, axis=1)  # [C, F, 6, 6]
+                bv = jnp.stack(bs, axis=1)
+                vparams = _gram_solve(G, bv)  # [C, F, 6]
+                # external predictor injection (EncoderOpts.value_
+                # prediction_params, encoder.rs:58-64): pin serialized
+                # params verbatim; the width fit below then models
+                # residuals of the PINNED value predictor
+                vparams = jnp.where(use_ovr, vp_ovr, vparams)
+                # round to the f16 wire precision BEFORE any residual
+                # math — decode recomputes predictions from the wire
+                # values. Uses the exact integer-op rounding
+                # (J.f16_wire_round): XLA's f16 convert is NOT IEEE RNE
+                # on this TPU (see that helper).
+                vparams = jax.lax.optimization_barrier(
+                    J.f16_wire_round(vparams)
                 )
 
-            # ALL fit einsums run at HIGHEST precision. Not for fit
-            # quality: the fitted params feed BOTH the bucket/symbol
-            # computation and the wire headers, and XLA may duplicate
-            # this subgraph into the two consumers with different
-            # precision decisions per instance (measured on the target
-            # TPU, round 2: default-precision vmapped einsums lower to
-            # bf16 on the MXU, and an image encoded with in-graph fits
-            # was self-INCONSISTENT — the header params differed from
-            # the params the symbols were formed with — while
-            # pinned-param encodes were bit-exact vs CPU). Exact
-            # contractions make every duplicated instance agree; the
-            # optimization_barrier below additionally pins ONE
-            # materialized value for both consumers.
-            _HI = jax.lax.Precision.HIGHEST
-            Gs, bs = [], []
-            for (lo, hi) in group_ranges:
-                Xs = vals[:, lo:hi].astype(jnp.float32)  # [C, kg, 6]
-                ys = target[:, lo:hi].astype(jnp.float32)
-                Gs.append(jnp.einsum("ckx,cky->cxy", Xs, Xs, precision=_HI))
-                bs.append(jnp.einsum("ckx,ck->cx", Xs, ys, precision=_HI))
-            G = jnp.stack(Gs, axis=1)  # [C, F, 6, 6]
-            bv = jnp.stack(bs, axis=1)
-            vparams = _gram_solve(G, bv)  # [C, F, 6]
-            # external predictor injection (EncoderOpts.value_prediction_
-            # params, encoder.rs:58-64): pin serialized params verbatim;
-            # the width fit below then models residuals of the PINNED
-            # value predictor
-            vparams = jnp.where(use_ovr, vp_ovr, vparams)
-            # round to the f16 wire precision BEFORE any residual math —
-            # decode recomputes predictions from the wire values. Uses
-            # the exact integer-op rounding (J.f16_wire_round): XLA's
-            # f16 convert is NOT IEEE RNE on this TPU (see that helper).
-            vparams = jax.lax.optimization_barrier(J.f16_wire_round(vparams))
-
-            Gws, bws = [], []
-            for g, (lo, hi) in enumerate(group_ranges):
-                Xs = vals[:, lo:hi].astype(jnp.float32)
-                ys = target[:, lo:hi].astype(jnp.float32)
-                pred_g = jnp.einsum(
-                    "ckx,cx->ck", Xs, vparams[:, g], precision=_HI
+                Gws, bws = [], []
+                for g, (lo, hi) in enumerate(group_ranges):
+                    Xs = vals[:, lo:hi].astype(jnp.float32)
+                    ys = target[:, lo:hi].astype(jnp.float32)
+                    pred_g = jnp.einsum(
+                        "ckx,cx->ck", Xs, vparams[:, g], precision=_HI
+                    )
+                    rg = jnp.abs(ys - pred_g)
+                    Fs = feats(Xs)
+                    Gws.append(
+                        jnp.einsum("ckx,cky->cxy", Fs, Fs, precision=_HI)
+                    )
+                    bws.append(
+                        jnp.einsum("ckx,ck->cx", Fs, rg, precision=_HI)
+                    )
+                Gw = jnp.stack(Gws, axis=1)
+                bw = jnp.stack(bws, axis=1)
+                wparams = _gram_solve(Gw, bw)
+                wparams = jnp.where(use_wovr, wp_ovr, wparams)
+                wparams = jax.lax.optimization_barrier(
+                    J.f16_wire_round(wparams)
                 )
-                rg = jnp.abs(ys - pred_g)
-                Fs = feats(Xs)
-                Gws.append(jnp.einsum("ckx,cky->cxy", Fs, Fs, precision=_HI))
-                bws.append(jnp.einsum("ckx,ck->cx", Fs, rg, precision=_HI))
-            Gw = jnp.stack(Gws, axis=1)
-            bw = jnp.stack(bws, axis=1)
-            wparams = _gram_solve(Gw, bw)
-            wparams = jnp.where(use_wovr, wp_ovr, wparams)
-            wparams = jax.lax.optimization_barrier(J.f16_wire_round(wparams))
 
-            # --- contexts + symbols (parallel over all K on encode)
-            buckets, preds = jax.vmap(
-                lambda v, vp, wp: J.contexts(v, slf, sgrp, vp, wp)
-            )(vals, vparams, wparams)
-            buckets = jnp.where(sfbkt[None] >= 0, sfbkt[None], buckets)
-            symbols = J.pack_signed(target - preds)  # [C, K] int32
+                # --- contexts + symbols (parallel over all K on encode)
+                buckets, preds = jax.vmap(
+                    lambda v, vp, wp: J.contexts(v, slf, sgrp, vp, wp)
+                )(vals, vparams, wparams)
+                buckets = jnp.where(sfbkt[None] >= 0, sfbkt[None], buckets)
+                symbols = J.pack_signed(target - preds)  # [C, K] int32
+                return vparams, wparams, buckets, symbols
+
+            if grid_enc is not None:
+                # dense grid-mode statistics (round 5): shift-plane taps
+                # + on-grid contexts + subsampled fits — no [C, K, 6]
+                # scattered gather (see grid_decode.build_grid_encode)
+                vparams, wparams, buckets, symbols = grid_enc(
+                    qplane, vp_ovr, wp_ovr, use_ovr, use_wovr
+                )
+            else:
+                vparams, wparams, buckets, symbols = step_stats()
 
             if (1 << 20) <= K < (1 << 24):
                 # MXU one-hot histogram (round 4): hist[c,b,s] =
@@ -617,8 +666,19 @@ class CodecProgram:
                 bits,
             )  # [C, NL] u32, [R, C, NL] u16, [R, C, NL] bool
 
-            # --- global-stream compaction (decode order via static perm)
-            stream, total = stream_compact(words, flags, inv_perm, kc=KC)
+            # --- global-stream compaction (decode order via static perm;
+            # grid mode needs no global sort — flat order IS decode
+            # order, see stream_compact_grid)
+            if wave_segs is not None and compact_mode == "rows":
+                stream, total = stream_compact_grid(words, flags, kc=KC)
+            elif wave_segs is not None and compact_mode == "scatter":
+                stream, total = stream_compact_scatter(
+                    words, flags, kc=KC
+                )
+            else:
+                stream, total = stream_compact(
+                    words, flags, inv_perm, kc=KC
+                )
             if KC % 2:
                 stream = jnp.concatenate(
                     [stream, jnp.zeros(1, jnp.uint16)]
@@ -973,13 +1033,17 @@ class CodecProgram:
             # machine. FRAVE_GRID_STEPDEC=1 falls back to the
             # step-tensor scan (same wire) for A/B timing.
             from ..fractal.lattice import DenseGridUnavailable
-            from .grid_decode import build_grid_decode
+            from .grid_decode import build_grid_decode, build_grid_encode
 
             try:
                 self._decode_fused = build_grid_decode(
                     self, geo, sched, nl, C
                 )
                 self._grid_dense = True
+                if os.environ.get("FRAVE_GRID_ENC", "1") == "1":
+                    # rebind the encode_fused closure cell: grid-mode
+                    # statistics via shift planes (round 5)
+                    grid_enc = build_grid_encode(self, geo, sched, nl, C)
             except DenseGridUnavailable:
                 # tiny shapes (< ~32 px a side): too few cells per
                 # mod-4 residue class for the lattice parent-map affine

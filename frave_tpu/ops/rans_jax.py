@@ -203,6 +203,81 @@ def stream_compact(
     return stream, total
 
 
+def stream_compact_grid(
+    words: jnp.ndarray,  # [R, C, NL] uint16 emission grid
+    flags: jnp.ndarray,  # [R, C, NL] bool
+    kc: int,  # real stream capacity K * C
+):
+    """Sort-free global-stream compaction for mode="grid" (round 5).
+
+    In grid mode the decode order IS the flat [R, C, NL] grid order
+    (rows are steps; within a step words go channel-major, lane-minor —
+    build_stream_perm degenerates to the identity on valid slots), so
+    the global (rank, word) sort of stream_compact over R*C*NL elements
+    (~170 ms of the 2048^2 RGB device encode, round-4 ablation) is
+    overkill. Instead:
+
+      * pack each row's flagged words with ONE single-operand u32 sort
+        along the row: key = (in-row rank if flagged else 0xFFFF) << 16
+        | word. Row length C*NL <= 65536 so the rank fits 16 bits; a
+        single fused u32 operand sorts ~log2(blk)^2 bitonic passes
+        instead of the global sort's log2(R*blk)^2 over a two-operand
+        (i32, u16) pair;
+      * lay rows end to end with a lax.scan of dynamic_update_slices at
+        the running word offset: row r writes its compacted block at
+        base[r]; the garbage tail of each block is overwritten by the
+        next row's write (writes are contiguous and sequential), so
+        positions < total always hold real words.
+
+    Returns (stream [kc] uint16 zero-padded tail, total int32)."""
+    R = words.shape[0]
+    blk = 1
+    for d in words.shape[1:]:
+        blk *= d
+    assert blk <= (1 << 16), "in-row rank must fit 16 bits"
+    w2 = words.reshape(R, blk).astype(jnp.uint32)
+    f2 = flags.reshape(R, blk)
+    inrow = jnp.arange(blk, dtype=jnp.uint32)
+    key = (
+        jnp.where(f2, inrow, jnp.uint32(0xFFFF)) << jnp.uint32(16)
+    ) | w2
+    srt = jax.lax.sort(key, dimension=1, is_stable=False)
+    roww = (srt & jnp.uint32(0xFFFF)).astype(jnp.uint16)  # [R, blk]
+    cnt = jnp.sum(f2.astype(jnp.int32), axis=1)  # [R]
+    base = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)[:-1]]
+    )
+    buf0 = jnp.zeros(kc + blk, jnp.uint16)
+
+    def body(buf, xs):
+        rw, b = xs
+        return jax.lax.dynamic_update_slice(buf, rw, (b,)), None
+
+    buf, _ = jax.lax.scan(body, buf0, (roww, base))
+    total = jnp.sum(cnt)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (kc,), 0)
+    stream = jnp.where(iota < total, buf[:kc], jnp.uint16(0))
+    return stream, total
+
+
+def stream_compact_scatter(
+    words: jnp.ndarray,  # [R, C, NL] uint16
+    flags: jnp.ndarray,  # [R, C, NL] bool
+    kc: int,
+):
+    """Grid-mode compaction via exclusive prefix sum + one scatter (the
+    cumsum alternative to stream_compact_grid, for on-chip A/B): decode
+    rank == flat order, so dst = cumsum(flags) - 1; unflagged slots all
+    route to the discard index kc (collisions there are garbage that the
+    final slice drops). Returns (stream [kc] uint16, total int32)."""
+    f = flags.reshape(-1)
+    w = words.reshape(-1)
+    csum = jnp.cumsum(f.astype(jnp.int32))
+    dst = jnp.where(f, csum - 1, kc)
+    stream = jnp.zeros(kc + 1, jnp.uint16).at[dst].set(w)[:kc]
+    return stream, csum[-1]
+
+
 def build_merged_decode_table(
     freqs: jnp.ndarray,  # [..., CA, 1024] uint32/int32
     cdfs: jnp.ndarray,  # [..., CA, 1024]

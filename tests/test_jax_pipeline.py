@@ -447,3 +447,76 @@ def test_flat_content_adaptive_lanes_single_pass():
     )[0]
     assert ci2.est_payload_bytes > 1000.0
     assert np.array_equal(decode_pipeline_jax(ci2).data, nat)
+
+
+def test_grid_encode_shift_planes_bit_exact(monkeypatch):
+    """Round 5: the dense grid-mode encode (shift-plane taps, on-grid
+    contexts — grid_decode.build_grid_encode) must produce BIT-IDENTICAL
+    containers to the step-tensor statistics path when fit subsampling
+    is disabled, for both context routes, gray and RGB."""
+    import frave_tpu.codec.grid_decode as GD
+    from frave_tpu.codec import pipeline_jax as P
+
+    rng = np.random.default_rng(17)
+
+    def enc(im, opts, **env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        P._program_cache.clear()
+        GD._wavedev_cache.clear()
+        try:
+            ci = P.encode_pipeline_jax_batch([im], opts)[0]
+            return serialize(ci), ci
+        finally:
+            for k in env:
+                monkeypatch.delenv(k, raising=False)
+
+    for c in (1, 3):
+        px = np.clip(
+            np.cumsum(rng.normal(0, 6, (96, 64, c)), axis=1) + 128, 0, 255
+        ).astype(np.uint8)
+        im = RasterImage.from_array(
+            px, ColorSpace.LUMA if c == 1 else ColorSpace.RGB
+        )
+        opts = EncoderOptions(mode="grid", num_lanes=64)
+        ref, _ = enc(im, opts, FRAVE_GRID_ENC="0")
+        plane, ci = enc(
+            im, opts, FRAVE_GRID_ENC="1", FRAVE_FIT_CAP="0",
+            FRAVE_GRID_ENC_PLANECTX="1",
+        )
+        pack, _ = enc(
+            im, opts, FRAVE_GRID_ENC="1", FRAVE_FIT_CAP="0",
+            FRAVE_GRID_ENC_PLANECTX="0",
+        )
+        assert plane == ref and pack == ref
+        # subsampled fit: wire parameters may move, must stay lossless
+        sub, ci2 = enc(im, opts, FRAVE_GRID_ENC="1", FRAVE_FIT_CAP="512")
+        from frave_tpu.codec.pipeline_jax import decode_pipeline_jax
+
+        assert np.array_equal(decode_pipeline_jax(ci2).data, px)
+    P._program_cache.clear()
+    GD._wavedev_cache.clear()
+
+
+def test_grid_compaction_variants_bit_exact(monkeypatch):
+    """Round 5: sort-free grid-mode stream compaction (per-row u32 sort
+    / prefix-scatter) must produce the identical wire as the global
+    (rank, word) sort."""
+    from frave_tpu.codec import pipeline_jax as P
+
+    rng = np.random.default_rng(23)
+    px = np.clip(
+        np.cumsum(rng.normal(0, 8, (96, 128, 3)), axis=0) + 128, 0, 255
+    ).astype(np.uint8)
+    im = RasterImage.from_array(px, ColorSpace.RGB)
+    opts = EncoderOptions(mode="grid", num_lanes=64)
+    blobs = {}
+    for mode in ("sort", "rows", "scatter"):
+        monkeypatch.setenv("FRAVE_COMPACT", mode)
+        P._program_cache.clear()
+        ci = P.encode_pipeline_jax_batch([im], opts)[0]
+        blobs[mode] = serialize(ci)
+        assert np.array_equal(P.decode_pipeline_jax(ci).data, px)
+    monkeypatch.delenv("FRAVE_COMPACT", raising=False)
+    P._program_cache.clear()
+    assert blobs["sort"] == blobs["rows"] == blobs["scatter"]
