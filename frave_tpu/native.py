@@ -22,7 +22,9 @@ _LIB_PATH = os.path.join(_CSRC_DIR, "build", "libfrave_host.so")
 # keep in sync with csrc/Makefile's SRC_SHA (cat order matters)
 _SRC_PATHS = (
     os.path.join(_CSRC_DIR, "geometry.cpp"),
+    os.path.join(_CSRC_DIR, "geometry_core.h"),
     os.path.join(_CSRC_DIR, "refbase.cpp"),
+    os.path.join(_CSRC_DIR, "frif.cpp"),
 )
 
 _lib: Optional[ctypes.CDLL] = None
@@ -93,6 +95,31 @@ def _try_load(expect_sha: Optional[str]) -> Optional[ctypes.CDLL]:
     ]
     lib.rb_free.argtypes = [ctypes.c_void_p]
     lib.rb_use_cache.argtypes = [ctypes.c_int]
+    # frif cross-implementation oracle (csrc/frif.cpp, round 5)
+    lib.frif_probe.restype = ctypes.c_int
+    lib.frif_probe.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.frif_decode.restype = ctypes.c_int
+    lib.frif_decode.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
+    lib.frif_encode.restype = ctypes.c_int
+    lib.frif_encode.argtypes = [ctypes.c_int] * 3 + [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.frif_free.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -255,3 +282,63 @@ def layer_waves_native(deps):
     if rc != 0:
         raise AssertionError("cycle in causal dependency graph")
     return out
+
+
+def frif_decode_native(blob: bytes):
+    """Decode a frif v8/v9 mode="grid" container with the INDEPENDENT
+    C++ implementation (csrc/frif.cpp — the cross-implementation format
+    oracle, round 5). Returns an [h, w, C] uint8 array, or None when the
+    native library is unavailable. Raises ValueError on parse/semantic
+    errors (diagnostic rc in the message)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = lib.frif_probe(
+        buf.ctypes.data, len(blob), ctypes.byref(h),
+        ctypes.byref(w), ctypes.byref(c),
+    )
+    if rc != 0:
+        raise ValueError(f"frif_probe failed (rc={rc})")
+    out = np.empty((h.value, w.value, c.value), dtype=np.uint8)
+    rc = lib.frif_decode(buf.ctypes.data, len(blob), out.ctypes.data)
+    if rc != 0:
+        raise ValueError(f"frif_decode failed (rc={rc})")
+    return out
+
+
+def frif_encode_native(
+    pixels,
+    quality: int = 3,
+    transform: int = 0,
+    num_lanes: int = 0,
+):
+    """Encode [h, w, C] uint8 pixels into a frif v9 mode="grid"
+    container with the independent C++ implementation. Returns bytes,
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, c = arr.shape
+    blob_p = ctypes.c_void_p()
+    blob_len = ctypes.c_int64()
+    rc = lib.frif_encode(
+        h, w, c, arr.ctypes.data, quality, transform, num_lanes,
+        ctypes.byref(blob_p), ctypes.byref(blob_len),
+    )
+    if rc != 0:
+        raise ValueError(f"frif_encode failed (rc={rc})")
+    try:
+        return ctypes.string_at(blob_p.value, blob_len.value)
+    finally:
+        lib.frif_free(blob_p)

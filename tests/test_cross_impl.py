@@ -1,0 +1,162 @@
+"""Cross-implementation format oracle (round 5, VERDICT r4 #2).
+
+The frif v9 wire contract is proven by a SECOND, independent
+implementation: csrc/frif.cpp derives the grid-mode symbol schedule,
+lane layout and stream order from (h, w, nl) alone, regenerates the
+frequency tables from the wire (bits, off-list, scale) fields — the
+riskiest rule of the format, the serialize.rs:230-236 analog — and
+runs its own serial rANS + exact-f32 context math. Every container the
+Python pipelines emit must decode bit-exactly there, and vice versa;
+a format ambiguity that both Python decoders happened to share would
+fail here.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from frave_tpu import ColorSpace, EncoderOptions, EncoderQuality, RasterImage
+from frave_tpu.codec.container import deserialize, serialize
+from frave_tpu.codec.pipeline_np import decode_pipeline_np, encode_pipeline_np
+from frave_tpu.native import (
+    frif_decode_native,
+    frif_encode_native,
+    have_native,
+)
+
+pytestmark = pytest.mark.skipif(
+    not have_native(), reason="native library unavailable"
+)
+
+_DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _natural(rng, h, w, c):
+    base = np.cumsum(rng.normal(0, 5, (h, w, c)), axis=1)
+    return np.clip(base + rng.normal(0, 4, (h, w, c)) + 128, 0, 255).astype(
+        np.uint8
+    )
+
+
+def _jax_encode(im, opts):
+    from frave_tpu.codec.pipeline_jax import encode_pipeline_jax_batch
+
+    return serialize(encode_pipeline_jax_batch([im], opts)[0])
+
+
+def _jax_decode(ci):
+    from frave_tpu.codec.pipeline_jax import decode_pipeline_jax
+
+    return decode_pipeline_jax(ci).data
+
+
+@pytest.mark.parametrize("transform", ["none", "subtract-green", "ycocg"])
+def test_c_decodes_python_rgb(transform):
+    rng = np.random.default_rng(11)
+    px = _natural(rng, 64, 96, 3)
+    im = RasterImage.from_array(px, ColorSpace.RGB)
+    opts = EncoderOptions(
+        mode="grid", num_lanes=32, color_transform=transform
+    )
+    for blob in (_jax_encode(im, opts), serialize(encode_pipeline_np(im, opts))):
+        out = frif_decode_native(blob)
+        assert np.array_equal(out, px)
+
+
+@pytest.mark.parametrize("tid", [0, 1, 3])
+def test_python_decodes_c_rgb(tid):
+    rng = np.random.default_rng(13)
+    px = _natural(rng, 64, 96, 3)
+    blob = frif_encode_native(px, quality=3, transform=tid, num_lanes=32)
+    ci = deserialize(blob)
+    assert np.array_equal(_jax_decode(ci), px)
+    assert np.array_equal(decode_pipeline_np(ci).data, px)
+
+
+@pytest.mark.parametrize("shape", [(33, 65), (128, 50), (96, 128)])
+def test_cross_decode_gray_shapes(shape):
+    h, w = shape
+    rng = np.random.default_rng(h * 1000 + w)
+    px = _natural(rng, h, w, 1)
+    im = RasterImage.from_array(px, ColorSpace.LUMA)
+    blob = _jax_encode(im, EncoderOptions(mode="grid", num_lanes=16))
+    assert np.array_equal(frif_decode_native(blob), px)
+    cblob = frif_encode_native(px, num_lanes=16)
+    assert np.array_equal(_jax_decode(deserialize(cblob)), px)
+
+
+def test_c_matches_python_lossy_decode():
+    """Lossy containers must decode to the SAME pixels on both
+    implementations (the dequantize midpoint-bias rule is part of the
+    contract)."""
+    rng = np.random.default_rng(17)
+    px = _natural(rng, 96, 96, 1)
+    im = RasterImage.from_array(px, ColorSpace.LUMA)
+    for q in (EncoderQuality.LOW, EncoderQuality.MEDIUM, EncoderQuality.HIGH):
+        blob = _jax_encode(
+            im, EncoderOptions(mode="grid", num_lanes=32, quality=q)
+        )
+        pydec = _jax_decode(deserialize(blob))
+        cdec = frif_decode_native(blob)
+        assert np.array_equal(cdec, np.asarray(pydec))
+
+
+def test_c_decodes_golden_containers():
+    """The committed v9 grid golden fixtures decode bit-exactly in C —
+    the format contract holds for historical wires, not just fresh
+    ones."""
+    for name in ("v9grid_gray", "v9grid_rgb"):
+        blob = open(os.path.join(_DATA, f"{name}.frv"), "rb").read()
+        ref = np.load(os.path.join(_DATA, f"{name}.npy"))
+        if ref.ndim == 2:
+            ref = ref[..., None]
+        assert np.array_equal(frif_decode_native(blob), ref)
+
+
+def test_cross_fuzz_corpus():
+    """Fuzz both directions over content classes that stress different
+    wire paths: flat (off-list-heavy, u16 lane states), noise (wide
+    residual spread, bits bump), gradients, random small shapes."""
+    rng = np.random.default_rng(23)
+    cases = []
+    cases.append(np.full((48, 48, 1), 77, np.uint8))  # flat
+    cases.append(rng.integers(0, 256, (48, 64, 1)).astype(np.uint8))  # noise
+    g = np.linspace(0, 255, 64, dtype=np.uint8)
+    cases.append(np.broadcast_to(g[None, :, None], (48, 64, 1)).copy())
+    for _ in range(3):
+        h = int(rng.integers(33, 97))
+        w = int(rng.integers(33, 97))
+        c = int(rng.choice([1, 3]))
+        cases.append(_natural(rng, h, w, c))
+    for px in cases:
+        im = RasterImage.from_array(
+            px, ColorSpace.LUMA if px.shape[2] == 1 else ColorSpace.RGB
+        )
+        opts = EncoderOptions(mode="grid", num_lanes=16)
+        blob = serialize(encode_pipeline_np(im, opts))
+        assert np.array_equal(frif_decode_native(blob), px), px.shape
+        cblob = frif_encode_native(px, num_lanes=16)
+        assert np.array_equal(
+            decode_pipeline_np(deserialize(cblob)).data, px
+        ), px.shape
+
+
+def test_c_rejects_malformed():
+    rng = np.random.default_rng(29)
+    px = _natural(rng, 48, 48, 1)
+    blob = frif_encode_native(px, num_lanes=16)
+    with pytest.raises(ValueError):
+        frif_decode_native(b"nope" + blob[4:])
+    with pytest.raises(ValueError):
+        frif_decode_native(blob[: len(blob) // 2] )
+    # corrupt payload byte: must not crash (decode-without-crash
+    # contract); pixels may differ
+    bad = bytearray(blob)
+    bad[len(bad) // 2] ^= 0xFF
+    try:
+        frif_decode_native(bytes(bad))
+    except ValueError:
+        pass  # marker corruption may be detected — also fine
