@@ -174,6 +174,65 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def find_predictor_vectors(limit=None):
+    """The reference's brute-force candidate generator (optimize.rs:16-32):
+    every 6-tap integer coefficient vector in [-3, 3]^6 summing to 6.
+    `limit` deterministically decimates the full ~4.3k-vector grid (the
+    reference re-encodes once per vector; a full sweep is an offline
+    job)."""
+    import itertools
+
+    out = [
+        np.asarray(v, dtype=np.float32)
+        for v in itertools.product(range(-3, 4), repeat=6)
+        if sum(v) == 6
+    ]
+    if limit is not None and limit < len(out):
+        stride = len(out) / float(limit)
+        out = [out[int(i * stride)] for i in range(limit)]
+    return out
+
+
+def search_predictors(img, backend, candidates, quality=None):
+    """Outer predictor-vector search (the optimize.rs:16-32,103-126
+    capability, closing SURVEY 2.2's last partial row): each candidate
+    6-tap vector is pinned through EncoderOptions.value_prediction_params
+    (encoder.rs:58-64 injection), one trial encode per candidate, scored
+    by the in-memory mean-|residual| metric (frave_tpu/metrics.py — the
+    reference reads back its ./mse side-channel files here) with the
+    container size as tie-break/fallback. Returns
+    (best_vector, [(score, bytes, vector), ...] sorted by score)."""
+    from ..codec.encoder import FRIEncoder
+    from ..codec.options import EncoderOptions, EncoderQuality
+    from ..metrics import get_metrics
+
+    quality = quality or EncoderQuality.LOSSLESS
+    results = []
+    for vec in candidates:
+        params = np.broadcast_to(vec, (3, 6)).astype(np.float32)
+        opts = EncoderOptions(
+            quality=quality,
+            backend=backend,
+            value_prediction_params=params,
+        )
+        m = get_metrics()
+        m.reset()
+        blob = FRIEncoder(opts).encode(img)
+        res = [
+            vals
+            for name, vals in m.snapshot().items()
+            if name.startswith("encode/mean_abs_residual")
+        ]
+        score = (
+            float(np.mean([np.mean(v) for v in res]))
+            if res
+            else float(len(blob))
+        )
+        results.append((score, len(blob), vec))
+    results.sort(key=lambda t: (t[0], t[1], tuple(t[2])))
+    return results[0][2], results
+
+
 def cmd_optimize(args) -> int:
     from ..codec.decoder import FRIDecoder
     from ..codec.encoder import FRIEncoder
@@ -181,6 +240,23 @@ def cmd_optimize(args) -> int:
 
     img = _load_image(args.input)
     h, w, _ = img.data.shape
+
+    if getattr(args, "search_predictors", False):
+        backend = "numpy" if args.backend == "auto" else args.backend
+        cands = find_predictor_vectors(
+            limit=args.search_limit if args.search_limit > 0 else None
+        )
+        best, results = search_predictors(img, backend, cands)
+        print(
+            f"{args.input}: searched {len(results)} predictor vectors "
+            f"(reference grid: optimize.rs:16-32)"
+        )
+        print(f"{'score':>12} {'bytes':>10}  vector")
+        for score, nbytes, vec in results[:10]:
+            print(f"{score:>12.4f} {nbytes:>10}  {vec.astype(int).tolist()}")
+        print(f"best: {best.astype(int).tolist()}")
+        return 0
+
     dec = FRIDecoder(backend=args.backend)
     print(f"{args.input}: {w}x{h}")
     print(f"{'quality':<10} {'bytes':>10} {'bpp':>8} {'MSE':>10} {'PSNR dB':>9}")
@@ -267,6 +343,19 @@ def main(argv=None) -> int:
     po = sub.add_parser("optimize", help="rate/distortion sweep across qualities")
     po.add_argument("input")
     common["backend"](po)
+    po.add_argument(
+        "--search-predictors",
+        action="store_true",
+        help="brute-force the reference's 6-tap predictor-vector grid "
+        "(optimize.rs:16-32) via trial encodes with pinned parameters",
+    )
+    po.add_argument(
+        "--search-limit",
+        type=int,
+        default=64,
+        help="deterministic decimation of the ~4.3k-vector grid "
+        "(0 = full sweep)",
+    )
     po.set_defaults(fn=cmd_optimize)
 
     args = parser.parse_args(argv)
