@@ -335,14 +335,26 @@ class CodecProgram:
         # grid-mode stream-compaction strategy (round 5): "rows" =
         # per-row u32 sort + offset scan (rans_jax.stream_compact_grid),
         # "scatter" = prefix sum + one scatter, "sort" = the global
-        # (rank, word) two-operand sort. Default picked by on-chip A/B
-        # (BASELINE.md round-5); FRAVE_COMPACT overrides for
-        # re-measurement. Falls back to "sort" when the in-row rank
-        # would not fit 16 bits.
-        compact_mode = os.environ.get("FRAVE_COMPACT", "rows")
-        if compact_mode == "rows" and C * nl > (1 << 16):
-            compact_mode = "sort"
-        self._compact_mode = compact_mode
+        # (rank, word) two-operand sort. Measured on-chip (BASELINE.md
+        # round 5): "rows" wins big UNBATCHED (2048^2 RGB encode
+        # 6.7 -> 9.1 MP/s — the offset scan's dynamic_update_slices are
+        # contiguous copies) but LOSES under vmap (B=64 headline encode
+        # 47.9 -> 36.5 — batched dynamic_update_slice lowers to
+        # scatter), so the default is per-batch-size: "rows" at B == 1,
+        # "sort" for batched encodes. FRAVE_COMPACT pins one strategy
+        # for re-measurement. "rows" needs the in-row rank to fit u16.
+        env_mode = os.environ.get("FRAVE_COMPACT")
+        if env_mode is None:
+            self._compact_for_b = lambda B: (
+                "rows" if B == 1 and C * nl <= (1 << 16) else "sort"
+            )
+        else:
+            fixed = (
+                "sort"
+                if env_mode == "rows" and C * nl > (1 << 16)
+                else env_mode
+            )
+            self._compact_for_b = lambda B: fixed
         st_coef = steps.step_coef.astype(np.int32)
         st_active = st_coef >= 0
         # ---- decode segments (parallel mode): one entry per schedule
@@ -394,7 +406,7 @@ class CodecProgram:
         def encode_fused(
             pixels, tid, qdiv, vp_ovr, wp_ovr, use_ovr, use_wovr,
             leaf_safe, leaf_mask, sc, snbr_safe, slf, sgrp,
-            sfbkt, lap, glog2, gzero, inv_perm
+            sfbkt, lap, glog2, gzero, inv_perm, compact_mode="sort",
         ):
             # [HW, C] (host-contiguous view, no host transpose) -> [C, HW]
             # int32 coding planes; the channel transform applies ON DEVICE
@@ -668,7 +680,8 @@ class CodecProgram:
 
             # --- global-stream compaction (decode order via static perm;
             # grid mode needs no global sort — flat order IS decode
-            # order, see stream_compact_grid)
+            # order, see stream_compact_grid; strategy is static per
+            # compiled program, picked by batch size)
             if wave_segs is not None and compact_mode == "rows":
                 stream, total = stream_compact_grid(words, flags, kc=KC)
             elif wave_segs is not None and compact_mode == "scatter":
@@ -1040,9 +1053,18 @@ class CodecProgram:
                     self, geo, sched, nl, C
                 )
                 self._grid_dense = True
-                if os.environ.get("FRAVE_GRID_ENC", "1") == "1":
-                    # rebind the encode_fused closure cell: grid-mode
-                    # statistics via shift planes (round 5)
+                # rebind the encode_fused closure cell: grid-mode
+                # statistics via shift planes (round 5). Worth it only
+                # at large K — the per-wave machinery costs fixed
+                # overhead that the one bulk gather beats at small
+                # shapes (measured: 2048^2 RGB encode +63%, 256^2 B=64
+                # -6%) — so the default gates on K; FRAVE_GRID_ENC:
+                # "0" = never, "1" = K-gated default, "force" = always.
+                genc = os.environ.get("FRAVE_GRID_ENC", "1")
+                kmin = int(
+                    os.environ.get("FRAVE_GRID_ENC_MINK", str(1 << 18))
+                )
+                if genc == "force" or (genc == "1" and K >= kmin):
                     grid_enc = build_grid_encode(self, geo, sched, nl, C)
             except DenseGridUnavailable:
                 # tiny shapes (< ~32 px a side): too few cells per
@@ -1113,9 +1135,12 @@ class CodecProgram:
             if fn is None:
                 # qdiv + overrides(4) + schedule tensors + perm
                 n_static = len(self._enc_args) + 6
+                cmode = self._compact_for_b(B)
                 fn = jax.jit(
                     jax.vmap(
-                        self._encode_fused,
+                        lambda *a: self._encode_fused(
+                            *a, compact_mode=cmode
+                        ),
                         in_axes=(0, 0) + (None,) * n_static,
                     )
                 )
@@ -1313,7 +1338,7 @@ def _encode_dispatch(images: List[RasterImage], opts: EncoderOptions):
         opts.prediction_overrides(C),
         tids=jnp.asarray(np.asarray(transforms, dtype=np.int32)),
     )
-    return prog, (packed, hist), qm, (meta, transforms)
+    return prog, (packed, hist), qm, (meta, transforms, pixels)
 
 
 def _encode_finish(prog, packed_dev, qm, meta, opts) -> List[CompressedImage]:
@@ -1327,7 +1352,11 @@ def _encode_finish(prog, packed_dev, qm, meta, opts) -> List[CompressedImage]:
         packed_dev, hist_dev = packed_dev
     transforms = None
     if isinstance(meta, tuple):
-        meta, transforms = meta
+        # (meta, transforms[, device_pixels]) — the trailing device
+        # pixels ride along for the on-device-verified round trip
+        # (roundtrip_pipeline_jax_stream device_verify) and are ignored
+        # here; the sharded encoder passes the 2-tuple
+        meta, transforms = meta[0], meta[1]
     C = prog.channels
     hw = prog.hdr_words
     # ONE speculative fetch: headers + a learned-size stream prefix.
@@ -1627,10 +1656,32 @@ def decode_pipeline_jax(image: CompressedImage) -> RasterImage:
     return decode_pipeline_jax_batch([image])[0]
 
 
+_verify_jit = None
+
+
+def _device_verify_batch(pixels_dev, px_in):
+    """Compare decoded [B, C, HW] pixels against the encode upload
+    [B, HW, C] ON DEVICE; returns the mismatch-count DeviceArray (one
+    scalar fetch instead of the full pixel downlink — VERDICT r4 #4:
+    the input pixels are already resident, so bench-mode losslessness
+    needs no decoded-pixel fetch)."""
+    global _verify_jit
+    if _verify_jit is None:
+        import jax
+
+        _verify_jit = jax.jit(
+            lambda dec, src: jnp.sum(
+                (dec != jnp.transpose(src, (0, 2, 1))).astype(jnp.int32)
+            )
+        )
+    return _verify_jit(pixels_dev, px_in)
+
+
 def roundtrip_pipeline_jax_stream(
     images: List[RasterImage],
     opts: EncoderOptions,
     batch_size: int = 8,
+    device_verify: bool = False,
 ) -> Tuple[List[bytes], List[RasterImage]]:
     """Software-pipelined encode -> container bytes -> decode over a
     same-shape corpus; returns (blobs, decoded images).
@@ -1653,46 +1704,72 @@ def roundtrip_pipeline_jax_stream(
     issuing it from the main thread serializes it with the next batch's
     dispatch. Workers block inside np.asarray while the main thread
     keeps enqueuing device compute (PJRT is thread-safe); the main
-    thread only ever blocks on an already-fetching future."""
+    thread only ever blocks on an already-fetching future.
+
+    device_verify=True (bench mode, VERDICT r4 #4): decoded pixels are
+    verified against the encode-side device pixels ON DEVICE and never
+    fetched — each batch's downlink shrinks to one mismatch-count
+    scalar. Returns (blobs, total_mismatch_count: int) instead of
+    (blobs, decoded images)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from .container import deserialize, serialize
 
     blobs: List[bytes] = []
     outs: List[RasterImage] = []
+    mismatches = 0
 
     def enc_finish(enc):
         cis = _encode_finish(*enc, opts)  # blocks worker on the fetch
         bl = [serialize(ci) for ci in cis]
-        return bl, [deserialize(b) for b in bl]
+        return bl, [deserialize(b) for b in bl], enc[3][2]
+
+    def fetch_mismatch(m_dev):
+        return int(np.asarray(m_dev))
 
     enc_fut = None  # fetching containers of batch i-1
     dec_fut = None  # fetching decoded pixels of batch i-2
     with ThreadPoolExecutor(max_workers=2) as pool:
+        def launch_decode(cis, px_in):
+            dev, meta, C = decode_pipeline_jax_batch(cis, _defer=True)
+            if device_verify:
+                m = _device_verify_batch(dev, px_in)
+                return pool.submit(fetch_mismatch, m)
+            return pool.submit(_decode_finish, dev, meta, C)
+
         for i in range(0, len(images), batch_size):
             chunk = images[i : i + batch_size]
             enc = _encode_dispatch(chunk, opts)  # device: enc_i
             if enc_fut is not None:
-                bl, cis = enc_fut.result()
+                bl, cis, px_in = enc_fut.result()
                 blobs.extend(bl)
-                dev, meta, C = decode_pipeline_jax_batch(
-                    cis, _defer=True
-                )  # device: dec_{i-1}
-                new_dec = pool.submit(_decode_finish, dev, meta, C)
+                new_dec = launch_decode(cis, px_in)  # device: dec_{i-1}
             else:
                 new_dec = None
             if dec_fut is not None:
-                outs.extend(dec_fut.result())
+                if device_verify:
+                    mismatches += dec_fut.result()
+                else:
+                    outs.extend(dec_fut.result())
             dec_fut = new_dec
             enc_fut = pool.submit(enc_finish, enc)
         # drain: last encode -> last decode
         if enc_fut is not None:
-            bl, cis = enc_fut.result()
+            bl, cis, px_in = enc_fut.result()
             blobs.extend(bl)
-            dev, meta, C = decode_pipeline_jax_batch(cis, _defer=True)
-            if dec_fut is not None:
-                outs.extend(dec_fut.result())
-            outs.extend(_decode_finish(dev, meta, C))
+            last = launch_decode(cis, px_in)
+            for fut in (dec_fut, last):
+                if fut is None:
+                    continue
+                if device_verify:
+                    mismatches += fut.result()
+                else:
+                    outs.extend(fut.result())
         elif dec_fut is not None:
-            outs.extend(dec_fut.result())
+            if device_verify:
+                mismatches += dec_fut.result()
+            else:
+                outs.extend(dec_fut.result())
+    if device_verify:
+        return blobs, mismatches
     return blobs, outs

@@ -481,16 +481,16 @@ def test_grid_encode_shift_planes_bit_exact(monkeypatch):
         opts = EncoderOptions(mode="grid", num_lanes=64)
         ref, _ = enc(im, opts, FRAVE_GRID_ENC="0")
         plane, ci = enc(
-            im, opts, FRAVE_GRID_ENC="1", FRAVE_FIT_CAP="0",
+            im, opts, FRAVE_GRID_ENC="force", FRAVE_FIT_CAP="0",
             FRAVE_GRID_ENC_PLANECTX="1",
         )
         pack, _ = enc(
-            im, opts, FRAVE_GRID_ENC="1", FRAVE_FIT_CAP="0",
+            im, opts, FRAVE_GRID_ENC="force", FRAVE_FIT_CAP="0",
             FRAVE_GRID_ENC_PLANECTX="0",
         )
         assert plane == ref and pack == ref
         # subsampled fit: wire parameters may move, must stay lossless
-        sub, ci2 = enc(im, opts, FRAVE_GRID_ENC="1", FRAVE_FIT_CAP="512")
+        sub, ci2 = enc(im, opts, FRAVE_GRID_ENC="force", FRAVE_FIT_CAP="512")
         from frave_tpu.codec.pipeline_jax import decode_pipeline_jax
 
         assert np.array_equal(decode_pipeline_jax(ci2).data, px)

@@ -127,3 +127,31 @@ def test_rate_adaptive_fallback_jax_backend():
     for backend in ("numpy", "jax"):
         out = FRIDecoder(backend=backend).decode(blob)
         np.testing.assert_array_equal(out.data, flat)
+
+
+def test_roundtrip_device_verify():
+    """VERDICT r4 #4: bench-mode losslessness verified ON DEVICE (one
+    scalar per batch, no pixel downlink) must agree with the host-side
+    comparison and produce identical containers."""
+    import numpy as np
+
+    from frave_tpu import EncoderOptions, RasterImage
+    from frave_tpu.codec.pipeline_jax import roundtrip_pipeline_jax_stream
+
+    rng = np.random.default_rng(31)
+    corpus = [
+        np.clip(
+            np.cumsum(rng.normal(0, 5, (64, 64, c)), axis=1) + 128, 0, 255
+        ).astype(np.uint8)
+        for c in (1, 1, 3, 3)
+    ]
+    for px in corpus:
+        imgs = [RasterImage.from_array(px)]
+        opts = EncoderOptions(backend="jax")
+        blobs, outs = roundtrip_pipeline_jax_stream(imgs, opts, batch_size=1)
+        assert np.array_equal(outs[0].data, px)
+        blobs2, mism = roundtrip_pipeline_jax_stream(
+            imgs, opts, batch_size=1, device_verify=True
+        )
+        assert mism == 0
+        assert blobs == blobs2
