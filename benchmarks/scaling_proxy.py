@@ -109,6 +109,14 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--hw", type=int, default=256)
+    ap.add_argument(
+        "--cold",
+        action="store_true",
+        help="cold-start mode: no per-process warm corpus before the "
+        "timed run (the shared persistent compile cache stays warm, as "
+        "it would be on a deployed host image) — measures fresh-process "
+        "startup amortization",
+    )
     args = ap.parse_args()
 
     ncores = len(os.sched_getaffinity(0))
@@ -154,12 +162,14 @@ def main() -> int:
         else []
     )
     plans.append(("1core", 1, [k for k in (1, 2, 4) if k <= ncores], False))
+    out["mode"] = "cold" if args.cold else "steady-state"
+    timed_warm = None if args.cold else warm_dir
     for tag, cph, ks, seq in plans:
         t = {k: [] for k in ks}
         for rep in range(args.reps):
             for k in ks:
                 t[k].append(run_k_hosts(k, cph, worker, corpus, tmp,
-                                        f"{tag}_r{rep}", warm=warm_dir,
+                                        f"{tag}_r{rep}", warm=timed_warm,
                                         sequential=seq))
         curve = {}
         for k in ks:

@@ -27,8 +27,23 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+# jax.experimental.pallas imports LAZILY: the import alone costs ~1.3 s
+# of module loading, charged to every process — including CPU backends
+# that never run a kernel (it was the single largest share of cold-host
+# startup after the jax import itself; round-5 cold-start work). The
+# kernel entry points resolve it on first use.
+pl = None
+pltpu = None
+
+
+def _ensure_pallas():
+    global pl, pltpu
+    if pl is None:
+        from jax.experimental import pallas as _pl
+        from jax.experimental.pallas import tpu as _pltpu
+
+        pl, pltpu = _pl, _pltpu
+
 
 LANES = 128
 
@@ -107,6 +122,7 @@ def forward_lift_quantize(
 ) -> jnp.ndarray:
     """leaves_nt: [N, T] int32 (pre-masked); leaf_mask_nt: [N, T] bool/int;
     qdiv: [N] int32. Returns quantized coefficients [N, T] int32."""
+    _ensure_pallas()
     n = 1 << depth
     assert leaves_nt.shape[0] == n
     T = leaves_nt.shape[1]
@@ -138,6 +154,7 @@ def dequantize_inverse_lift(
 ) -> jnp.ndarray:
     """qcoef_nt: [N, T] int32; node/leaf masks [N, T]; returns leaves
     [N, T] int32 (garbage at mask-false leaves, never scattered)."""
+    _ensure_pallas()
     n = 1 << depth
     assert qcoef_nt.shape[0] == n
     T = qcoef_nt.shape[1]
