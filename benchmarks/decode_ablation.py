@@ -77,7 +77,7 @@ def main():
     (states, streams, bits_w, offpk, scw, vp, wp, qdiv,
      _tids) = assemble_wire_batch(cis, nl)
     lut_bits = pick_lut_bits(bits_w)
-    (d_coef, d_active, d_nbr, d_lf, d_grp, d_fbkt, pix_safe, node_mask,
+    (d_coef, d_active, d_nbr, d_lf, d_grp, d_fbkt, pix_inv, node_mask,
      leaf_inb) = prog._dec_args
     lap = prog._lap
 

@@ -116,78 +116,106 @@ def main() -> int:
     wparams = jnp.asarray(rng.normal(0, 0.2, (C, sched.num_fine, 6)), jnp.float32)
     gdtype = jnp.uint32 if packed else jnp.int16
 
-    def taps_contexts():
-        tot = jnp.float32(0)
-        parent = (
-            jnp.full(waves[2].shape, _PACK_ZERO, jnp.uint32)
-            if packed
-            else jnp.zeros((C,) + waves[2].shape, jnp.int16)
-        )
-        for wd in waves[3:]:
-            pv = _broadcast_parent(wd.wp, parent, fill, gdtype)
-            taps = []
-            fix_by_k = {k: (tg, sr) for (k, tg, sr) in wd.fix}
-            pflat = parent.reshape(-1) if packed else parent.reshape(C, -1)
-            for k in range(6):
-                tt = _shift2(pv, *wd.tap_shift[k], fill)
-                if k in fix_by_k:
-                    tg_, sr_ = fix_by_k[k]
-                    if packed:
-                        tt = tt.reshape(-1).at[tg_].set(pflat[sr_]).reshape(wd.shape)
-                    else:
-                        tt = tt.reshape(C, -1).at[:, tg_].set(pflat[:, sr_]).reshape((C,) + wd.shape)
-                taps.append(tt)
-            ts = jnp.stack(taps, -1)
-            if packed:
-                vals = _unpack3(ts.reshape(wd.cells, 6))
-            else:
-                vals = ts.reshape(C, wd.cells, 6).astype(jnp.int32)
-            vals = jnp.where(wd.tap_valid[None], vals, 0)
-            bk_, pr_ = J.contexts_static(
-                vals,
-                vparams[:, wd.group].reshape(C, 1, 6),
-                wparams[:, wd.group].reshape(C, 1, 6),
-                False,
-            )
-            tot = tot + bk_.sum() + pr_.sum()
-            parent = (
-                jnp.full((wd.shape), _PACK_ZERO, jnp.uint32)
-                if packed
-                else jnp.zeros((C,) + wd.shape, jnp.int16)
-            )
-        return tot
+    from frave_tpu.codec.grid_decode import (
+        _pack_tap_vals,
+        _plane_contexts,
+        _tap_planes,
+    )
 
-    f = jax.jit(taps_contexts)
-    f().block_until_ready()
-    t = 1e9
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
+    def parent_of(wd):
+        return (
+            jnp.full(wd.shape, _PACK_ZERO, jnp.uint32)
+            if packed
+            else jnp.zeros((C,) + wd.shape, jnp.int16)
+        )
+
+    def planes_of(wd, parent):
+        pv = _broadcast_parent(wd.wp, parent, fill, gdtype)
+        return _tap_planes(wd, pv, parent, packed, C, fill)
+
+    def bulk(stage):
+        """stage selects how much of the per-wave bulk work runs:
+        'planes' = broadcast + shifted tap planes only;
+        'pack'   = + the [kw, 6] pack gather + packed contexts;
+        'plane_ctx' = + on-grid contexts + [kw] x2 pack gathers."""
+
+        def fn():
+            tot = jnp.float32(0)
+            parent = parent_of(waves[2])
+            for wd in waves[3:]:
+                planes = planes_of(wd, parent)
+                if stage == "planes":
+                    tot = tot + sum(
+                        p.astype(jnp.float32).sum() for p in planes
+                    )
+                elif stage == "pack":
+                    vals = _pack_tap_vals(wd, planes, packed, C)
+                    bk_, pr_ = J.contexts_static(
+                        vals,
+                        vparams[:, wd.group].reshape(C, 1, 6),
+                        wparams[:, wd.group].reshape(C, 1, 6),
+                        False,
+                    )
+                    tot = tot + bk_.sum() + pr_.sum()
+                else:
+                    bk_, pr_ = _plane_contexts(
+                        wd, planes, vparams, wparams, packed, C
+                    )
+                    tot = tot + bk_.sum() + pr_.sum()
+                parent = parent_of(wd)
+            return tot
+
+        f = jax.jit(fn)
         f().block_until_ready()
-        t = min(t, time.perf_counter() - t0)
-    print(json.dumps({"bulk_taps_contexts_s": round(t, 3)}))
+        t = 1e9
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            f().block_until_ready()
+            t = min(t, time.perf_counter() - t0)
+        return t
+
+    for stage in ("planes", "pack", "plane_ctx"):
+        print(json.dumps({f"bulk_{stage}_s": round(bulk(stage), 3)}))
 
     # --- (c) per-wave scatters
     def scatters():
         if packed:
             qpad = jnp.full((n_slots + 1,), _PACK_ZERO, jnp.uint32)
             for wd in waves:
-                v = jnp.full((wd.cells,), _PACK_ZERO, jnp.uint32)
+                v = jnp.full((wd.kw,), _PACK_ZERO, jnp.uint32)
                 qpad = qpad.at[wd.wslot].set(v)
             return qpad.sum()
         qpad = jnp.zeros((C, n_slots + 1), jnp.int16)
         for wd in waves:
-            v = jnp.zeros((C, wd.cells), jnp.int16)
+            v = jnp.zeros((C, wd.kw), jnp.int16)
             qpad = jax.vmap(lambda q, vv: q.at[wd.wslot].set(vv))(qpad, v)
         return qpad.sum()
 
-    g = jax.jit(scatters)
-    g().block_until_ready()
-    t = 1e9
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
+    def to_grids():
+        tot = jnp.uint32(0) if packed else jnp.int32(0)
+        for wd in waves:
+            if packed:
+                flat = jnp.full((wd.cells,), _PACK_ZERO, jnp.uint32)
+                g2 = flat.at[wd.pack_idx].set(
+                    jnp.zeros((wd.kw,), jnp.uint32), unique_indices=True
+                )
+            else:
+                flat = jnp.zeros((C, wd.cells), jnp.int16)
+                g2 = flat.at[:, wd.pack_idx].set(
+                    jnp.zeros((C, wd.kw), jnp.int16), unique_indices=True
+                )
+            tot = tot + g2.sum()
+        return tot
+
+    for name, fn in (("scatters", scatters), ("to_grids", to_grids)):
+        g = jax.jit(fn)
         g().block_until_ready()
-        t = min(t, time.perf_counter() - t0)
-    print(json.dumps({"scatters_s": round(t, 3)}))
+        t = 1e9
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            g().block_until_ready()
+            t = min(t, time.perf_counter() - t0)
+        print(json.dumps({f"{name}_s": round(t, 3)}))
     return 0
 
 

@@ -326,7 +326,7 @@ def build_grid_decode(prog, geo, sched, nl: int, C: int):
         states, stream, wire_bits, offpk, scpk, vparams, wparams,
         qdiv, tid, lap,
         d_coef, d_active, d_nbr, d_lf, d_grp, d_fbkt,
-        pix_safe, node_mask, leaf_inb, lut_bits=None, pallas_ok=False,
+        pix_inv, node_mask, leaf_inb, lut_bits=None, pallas_ok=False,
     ):
         # pallas_ok: static flag from decode_exec — only the UNBATCHED
         # (B=1) call may route through the whole-wave kernel (its
@@ -507,9 +507,7 @@ def build_grid_decode(prog, geo, sched, nl: int, C: int):
             leaves = J.inverse_lifting(
                 coef, depth, node_mask[None], leaf_inb[None]
             )
-        out = jnp.zeros((C, HW + 1), dtype=jnp.int32)
-        out = out.at[:, pix_safe].set(leaves.reshape(C, -1))
-        planes = jnp.clip(out[:, :HW], 0, 255)
+        planes = jnp.clip(leaves.reshape(C, -1)[:, pix_inv], 0, 255)
         if C == 3:
             planes = _inverse_transform_device(planes, tid)
         return planes.astype(jnp.uint8)

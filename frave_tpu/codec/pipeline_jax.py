@@ -382,6 +382,15 @@ class CodecProgram:
                     assert (steps.step_fbkt[s][a] == fbkt).all()
                     assert (steps.step_lf[s][a] == lf).all()
                 self._segments.append((s0, s1, grp, fbkt, lf))
+        # pixel assembly as a GATHER: pixel_gather is a bijection from
+        # in-bounds leaves to pixels, so pixels[p] = leaves[pix_inv[p]]
+        # — measured round 5 at 2048^2 RGB: 49 ms vs 286 ms for the
+        # equivalent [C, HW] scatter (the single largest decode stage
+        # before this change)
+        pgf = pg.reshape(-1)
+        inb = pgf >= 0
+        pix_inv = np.zeros(HW, dtype=np.int32)
+        pix_inv[pgf[inb]] = np.nonzero(inb)[0].astype(np.int32)
         self._dec_args = (
             put(np.where(st_active, st_coef, n_slots).astype(np.int32)),
             put(st_active),
@@ -393,7 +402,7 @@ class CodecProgram:
             put(steps.step_lf.astype(bool)),
             put(steps.step_group.astype(np.int32)),
             put(steps.step_fbkt.astype(np.int32)),
-            put(np.where(pg >= 0, pg, HW).astype(np.int32).reshape(-1)),  # pix_safe
+            put(pix_inv),  # pixel -> owning leaf (gather indices)
             put(geo.coef_mask.astype(bool)),  # node presence [T, N]
             put(pg >= 0),  # leaf in-bounds [T, N]
         )
@@ -746,7 +755,7 @@ class CodecProgram:
             d_lf,
             d_grp,
             d_fbkt,
-            pix_safe,
+            pix_inv,
             node_mask,
             leaf_inb,
             lut_bits=LUT_BITS,
@@ -878,9 +887,7 @@ class CodecProgram:
                 leaves = J.inverse_lifting(
                     coef, depth, node_mask[None], leaf_inb[None]
                 )
-            out = jnp.zeros((C, HW + 1), dtype=jnp.int32)
-            out = out.at[:, pix_safe].set(leaves.reshape(C, -1))
-            planes = jnp.clip(out[:, :HW], 0, 255)
+            planes = jnp.clip(leaves.reshape(C, -1)[:, pix_inv], 0, 255)
             # inverse channel transform on device (container transform
             # byte); output stays [C, HW] — the device->host fetch of a
             # [HW, 3] minor-dim-3 layout measured ~25% slower than
@@ -896,7 +903,7 @@ class CodecProgram:
             states, stream, wire_bits, offpk, scpk, vparams, wparams,
             qdiv, tid, lap,
             d_coef, d_active, d_nbr, d_lf, d_grp, d_fbkt,
-            pix_safe, node_mask, leaf_inb, lut_bits=LUT_BITS,
+            pix_inv, node_mask, leaf_inb, lut_bits=LUT_BITS,
         ):
             """Round-3 decode redesign. The old scan (decode_fused above)
             pays ~0.4ms per step for EACH batched-index gather/scatter on
@@ -1017,9 +1024,7 @@ class CodecProgram:
                 leaves = J.inverse_lifting(
                     coef, depth, node_mask[None], leaf_inb[None]
                 )
-            out = jnp.zeros((C, HW + 1), dtype=jnp.int32)
-            out = out.at[:, pix_safe].set(leaves.reshape(C, -1))
-            planes = jnp.clip(out[:, :HW], 0, 255)
+            planes = jnp.clip(leaves.reshape(C, -1)[:, pix_inv], 0, 255)
             if C == 3:
                 planes = _inverse_transform_device(planes, tid)
             return planes.astype(jnp.uint8)

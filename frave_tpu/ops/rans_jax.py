@@ -437,17 +437,15 @@ def distribute_words(x_new, need, stream, gptr):
     return x_new, gptr + jnp.sum(nf)
 
 
-def decode_step_comparefree(
+def comparefree_symbol(
     x: jnp.ndarray,  # [C, NL] uint32 lane states
-    gptr: jnp.ndarray,  # scalar int32 global stream pointer
     oh_bkt: jnp.ndarray,  # [C, NL, CA] bf16 one-hot context buckets
-    active: jnp.ndarray,  # [NL] bool (static lane-activity of the step)
-    stream: jnp.ndarray,  # [W] uint16, zero-padded >= C*NL past the end
-    tabs: dict,  # prepare_compare_tables output for this image
+    tabs: dict,  # prepare_compare_tables output
 ):
-    """One gather-free decode step for all channels x lanes (see
-    prepare_compare_tables). Returns (sym [C, NL] i32, x', gptr')."""
-    C, NL = x.shape
+    """The gather-free symbol-extraction core of the compare-free step
+    (everything except renorm-word distribution — split out so the
+    lane-sharded TP decoder can route its own GLOBAL word offsets).
+    Returns (sym [C, NL] i32, x_new [C, NL] u32 pre-renorm)."""
     _F32 = jnp.float32
 
     def sel(plane, spec):
@@ -494,6 +492,21 @@ def decode_step_comparefree(
     x_new = freq * (x >> bi) + slot.astype(jnp.uint32) - cdf_sel.astype(
         jnp.uint32
     )
+    return sym, x_new
+
+
+def decode_step_comparefree(
+    x: jnp.ndarray,  # [C, NL] uint32 lane states
+    gptr: jnp.ndarray,  # scalar int32 global stream pointer
+    oh_bkt: jnp.ndarray,  # [C, NL, CA] bf16 one-hot context buckets
+    active: jnp.ndarray,  # [NL] bool (static lane-activity of the step)
+    stream: jnp.ndarray,  # [W] uint16, zero-padded >= C*NL past the end
+    tabs: dict,  # prepare_compare_tables output for this image
+):
+    """One gather-free decode step for all channels x lanes (see
+    prepare_compare_tables). Returns (sym [C, NL] i32, x', gptr')."""
+    C, NL = x.shape
+    sym, x_new = comparefree_symbol(x, oh_bkt, tabs)
     act = jnp.broadcast_to(active[None], (C, NL))
     need = act & (x_new < jnp.uint32(RANS_L))
     x_new, gptr = distribute_words(x_new, need, stream, gptr)

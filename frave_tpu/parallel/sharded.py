@@ -679,9 +679,322 @@ class TPShardedDecoder:
         key = (nl, mode, W)
         fn = self._jit_cache.get(key)
         if fn is None:
-            fn = self._build(prog, nl, n_dev, W)
+            if mode == "grid" and getattr(prog, "_grid_dense", False):
+                fn = self._build_grid(prog, nl, n_dev, W)
+            else:
+                fn = self._build(prog, nl, n_dev, W)
             self._jit_cache[key] = fn
         return prog, fn
+
+    def _build_grid(self, prog, nl, n_dev, W):
+        """Grid-mode TP decode (round 5, VERDICT r4 #3): the packed wave
+        rows are LANE-sharded over the mesh, so the loop-carried scan
+        body is shard-local rANS ALU (rans_jax.comparefree_symbol on
+        [C, NL/n] lanes) and the per-step collective carries only the
+        per-(shard, channel) renorm-word COUNTS — a [n_dev, C] i32
+        all_gather, independent of the coefficient plane — from which
+        each shard derives its lanes' global stream offsets
+        (channel-major, shard-major-lane order == build_stream_perm).
+        This replaces the step-tensor TP path's per-step plane-sized
+        (value, flag) all_gather that capped scaling at ~1.2x
+        (tp_decode_model.py). Per WAVE (not per step) one values
+        all_gather rebuilds the dense grids for the replicated bulk
+        tap/scatter machinery; the final pixel gather is sharded over
+        the image. Cost model: benchmarks/tp_grid_model.py."""
+        from ..codec.grid_decode import (
+            _broadcast_parent,
+            _tap_planes,
+            get_wave_devs,
+        )
+        from ..codec.pipeline_jax import (
+            _PACK_ZERO,
+            _inverse_transform_device,
+            _pack3,
+            _unpack3,
+        )
+        from ..entropy.tables_jax import finalize_contexts_device
+        from ..fractal.geometry import get_geometry
+        from ..fractal.schedule import get_schedule
+        from ..ops.rans_jax import (
+            RANS_L,
+            WORD_BITS,
+            comparefree_symbol,
+            prepare_compare_tables,
+        )
+
+        C = self.channels
+        NLl = nl // n_dev
+        n_slots = prog.n_slots
+        HW = self.height * self.width
+        T = prog.num_tiles
+        N = 1 << self.depth
+        depth = self.depth
+        axes = tuple(self.mesh.axis_names)
+        packed = C == 3
+        fill = _PACK_ZERO if packed else 0
+        gdtype = jnp.uint32 if packed else jnp.int16
+        geo = get_geometry(self.height, self.width, self.depth)
+        sched = get_schedule(
+            self.height, self.width, self.depth, mode="grid"
+        )
+        waves = get_wave_devs(geo, sched, nl, n_slots)
+        put = jax.device_put
+        # per-wave rank -> (cell, tap validity) in the padded [rows, nl]
+        # lane grid (padding ranks read cell 0 with all-invalid taps and
+        # are masked by active_rows everywhere downstream)
+        rank_maps = []
+        for wd in waves:
+            pidx = np.nonzero(wd.wp.active.reshape(-1))[0]
+            rc = np.zeros(max(wd.rows, 1) * nl, np.int32)
+            rc[: wd.kw] = pidx
+            tv = np.zeros((max(wd.rows, 1) * nl, 6), bool)
+            tv[: wd.kw] = wd.wp.tap_valid.reshape(6, -1).T[pidx]
+            rank_maps.append(
+                (
+                    put(rc[: wd.rows * nl].reshape(wd.rows, nl)),
+                    put(tv[: wd.rows * nl].reshape(wd.rows, nl, 6)),
+                )
+            )
+        iota_ca = jnp.arange(CONTEXT_AMOUNT, dtype=jnp.int32)
+        iota_dev = jnp.arange(n_dev, dtype=jnp.int32)
+        HWl = -(-HW // n_dev)
+        HWp = HWl * n_dev
+
+        def decode_tp_grid(
+            states_l,  # [C, NLl] uint32 (lane-sharded)
+            stream,  # [W] uint16 (replicated)
+            wire_bits, offpk, scpk, vparams, wparams, qdiv, tid, lap,
+        ):
+            shifts32 = jnp.arange(32, dtype=jnp.uint32)
+            off_mask = (
+                ((offpk[..., None] >> shifts32) & jnp.uint32(1)) > 0
+            ).reshape(C, CONTEXT_AMOUNT, ALPHABET_SIZE)
+            zero_hist = jnp.zeros(
+                (C, CONTEXT_AMOUNT, ALPHABET_SIZE), jnp.int32
+            )
+            bits, _, cdfs_i, _ = finalize_contexts_device(
+                zero_hist, lap, bits0=wire_bits, off_mask_in=off_mask,
+                scale_idx=scpk,
+            )
+            tabs = prepare_compare_tables(cdfs_i, bits)
+
+            s_idx = jax.lax.axis_index(axes[0]) if len(axes) == 1 else (
+                jax.lax.axis_index(axes[0]) * self.mesh.shape[axes[1]]
+                + jax.lax.axis_index(axes[1])
+            )
+            lane_lo = s_idx * NLl
+
+            if packed:
+                qpad = jnp.full((n_slots + 1,), _PACK_ZERO, jnp.uint32)
+            else:
+                qpad = jnp.zeros((C, n_slots + 1), dtype=jnp.int16)
+            x = states_l
+            gptr = jnp.int32(0)
+
+            def ctx_local(wi, wd, planes, vparams, wparams):
+                """My lanes' buckets/preds for one wave: local pack
+                gather off the replicated tap planes."""
+                rows = wd.rows
+                rc_all, tv_all = rank_maps[wi]
+                rc = jax.lax.dynamic_slice(
+                    rc_all, (0, lane_lo), (rows, NLl)
+                )
+                tv = jax.lax.dynamic_slice(
+                    tv_all, (0, lane_lo, 0), (rows, NLl, 6)
+                )
+                if planes is None:
+                    vals = jnp.zeros((C, rows, NLl, 6), jnp.int32)
+                else:
+                    ts = jnp.stack(planes, axis=-1)
+                    if packed:
+                        vals = _unpack3(ts.reshape(wd.cells, 6)[rc])
+                    else:
+                        vals = ts.reshape(C, wd.cells, 6)[:, rc].astype(
+                            jnp.int32
+                        )
+                    vals = jnp.where(tv[None], vals, 0)
+                vp_row = vparams[:, wd.group].reshape(C, 1, 1, 6)
+                wp_row = wparams[:, wd.group].reshape(C, 1, 1, 6)
+                bk, pr = J.contexts_static(vals, vp_row, wp_row, False)
+                if wd.fbkt >= 0:
+                    bk = jnp.full_like(bk, wd.fbkt)
+                return bk, pr  # [C, rows, NLl]
+
+            def scan_wave(wd, bk, pr, x, gptr):
+                """rANS-decode my lanes of one wave's rows; per row ONE
+                [n_dev, C] count all_gather routes global word offsets.
+                Returns (values_local [C, rows, NLl], x, gptr)."""
+                rows = wd.rows
+                if rows == 0:
+                    return jnp.zeros((C, 0, NLl), jnp.int32), x, gptr
+                act_all = wd.active_rows  # [rows, nl] (replicated)
+                act_l = jax.lax.dynamic_slice(
+                    act_all, (0, lane_lo), (rows, NLl)
+                )
+                oh = jnp.asarray(
+                    bk[..., None] == iota_ca, dtype=jnp.bfloat16
+                ).transpose(1, 0, 2, 3)  # [rows, C, NLl, CA]
+
+                def body(carry, xs):
+                    x, gptr = carry
+                    oh_t, act_t = xs
+                    sym, x_new = comparefree_symbol(x, oh_t, tabs)
+                    act = jnp.broadcast_to(act_t[None], (C, NLl))
+                    need = act & (x_new < jnp.uint32(RANS_L))
+                    cnt_l = jnp.sum(need.astype(jnp.int32), axis=1)
+                    cnts = jax.lax.all_gather(
+                        cnt_l, axes, axis=0, tiled=False
+                    ).reshape(n_dev, C)  # THE per-step collective
+                    total_c = jnp.sum(cnts, axis=0)  # [C]
+                    chan_base = jnp.concatenate(
+                        [jnp.zeros(1, jnp.int32), jnp.cumsum(total_c)[:-1]]
+                    )
+                    shard_before = jnp.sum(
+                        jnp.where(
+                            (iota_dev < s_idx)[:, None], cnts, 0
+                        ),
+                        axis=0,
+                    )  # [C]
+                    local_pref = jnp.cumsum(
+                        need.astype(jnp.int32), axis=1
+                    ) - 1
+                    pos = (
+                        chan_base[:, None]
+                        + shard_before[:, None]
+                        + local_pref
+                    )
+                    idx = jnp.clip(gptr + pos, 0, stream.shape[0] - 1)
+                    wrd = stream[idx].astype(jnp.uint32)
+                    x_new = jnp.where(
+                        need,
+                        (x_new << jnp.uint32(WORD_BITS)) | wrd,
+                        x_new,
+                    )
+                    x = jnp.where(act, x_new, x)
+                    gptr = gptr + jnp.sum(total_c)
+                    return (x, gptr), sym
+
+                (x, gptr), syms = jax.lax.scan(
+                    body, (x, gptr), (oh, act_l)
+                )  # syms [rows, C, NLl]
+                act_b = jnp.broadcast_to(
+                    act_l[:, None, :], (rows, C, NLl)
+                ).transpose(1, 0, 2)
+                values = jnp.where(
+                    act_b,
+                    J.unpack_signed(syms.transpose(1, 0, 2)) + pr,
+                    0,
+                )
+                return values, x, gptr
+
+            def wave_values(wi, wd, planes, x, gptr):
+                bk, pr = ctx_local(wi, wd, planes, vparams, wparams)
+                v_l, x, gptr = scan_wave(wd, bk, pr, x, gptr)
+                # per-WAVE collective: rebuild the full packed values
+                # for the replicated grid/scatter machinery
+                v_all = jax.lax.all_gather(
+                    v_l, axes, axis=2, tiled=True
+                )  # [C, rows, NL]
+                values = v_all.reshape(C, wd.rows * nl)[:, : wd.kw]
+                return values, x, gptr
+
+            def to_grid(wd, values, base=None):
+                if packed:
+                    flat = (
+                        jnp.full((wd.cells,), _PACK_ZERO, jnp.uint32)
+                        if base is None
+                        else base.reshape(-1)
+                    )
+                    return flat.at[wd.pack_idx].set(
+                        _pack3(values), unique_indices=True
+                    ).reshape(wd.shape)
+                flat = (
+                    jnp.zeros((C, wd.cells), jnp.int16)
+                    if base is None
+                    else base.reshape(C, -1)
+                )
+                return flat.at[:, wd.pack_idx].set(
+                    values.astype(jnp.int16), unique_indices=True
+                ).reshape((C,) + wd.shape)
+
+            def scatter_coefs(qpad, wd, values):
+                if packed:
+                    return qpad.at[wd.wslot].set(
+                        _pack3(values), unique_indices=True
+                    )
+                return jax.vmap(
+                    lambda q, v: q.at[wd.wslot].set(
+                        v, unique_indices=True
+                    )
+                )(qpad, values.astype(jnp.int16))
+
+            # ---- wave chain (same structure as decode_fused_grid)
+            w0, w1, w2 = waves[0], waves[1], waves[2]
+            v0, x, gptr = wave_values(0, w0, None, x, gptr)
+            qpad = scatter_coefs(qpad, w0, v0)
+            dcA = to_grid(w0, v0)
+            p1 = _tap_planes(w1, dcA, None, packed, C, fill)
+            v1, x, gptr = wave_values(1, w1, p1, x, gptr)
+            qpad = scatter_coefs(qpad, w1, v1)
+            dc = to_grid(w1, v1, base=dcA)
+            p2 = _tap_planes(w2, dc, None, packed, C, fill)
+            v2, x, gptr = wave_values(2, w2, p2, x, gptr)
+            qpad = scatter_coefs(qpad, w2, v2)
+            parent = to_grid(w2, v2)
+            for wi in range(3, len(waves)):
+                wd = waves[wi]
+                pv = _broadcast_parent(wd.wp, parent, fill, gdtype)
+                pl = _tap_planes(wd, pv, parent, packed, C, fill)
+                vv, x, gptr = wave_values(wi, wd, pl, x, gptr)
+                qpad = scatter_coefs(qpad, wd, vv)
+                parent = to_grid(wd, vv)
+
+            # ---- replicated dequant + inverse lifting; pixel gather
+            # SHARDED over the image (each shard assembles HW/n pixels)
+            if packed:
+                qcoef = _unpack3(qpad[:n_slots]).reshape(C, T, N)
+            else:
+                qcoef = qpad[:, :n_slots].astype(jnp.int32).reshape(
+                    C, T, N
+                )
+            coef = J.dequantize(qcoef, qdiv[None, None, :])
+            leaves = J.inverse_lifting(
+                coef, depth, node_mask_dev[None], leaf_inb_dev[None]
+            ).reshape(C, T * N)
+            inv_l = jax.lax.dynamic_slice(
+                pix_inv_pad, (s_idx * HWl,), (HWl,)
+            )
+            planes_l = jnp.clip(leaves[:, inv_l], 0, 255)
+            if C == 3:
+                planes_l = _inverse_transform_device(planes_l, tid)
+            return planes_l.astype(jnp.uint8)  # [C, HWl] (sharded)
+
+        # replicated device constants closed over (shard_map lifts them
+        # as replicated): lifting masks + padded pixel-inverse map
+        node_mask_dev = prog._dec_args[7]
+        leaf_inb_dev = prog._dec_args[8]
+        pix_inv_host = np.asarray(prog._dec_args[6])
+        pix_inv_pad = jax.device_put(
+            np.concatenate(
+                [pix_inv_host, np.zeros(HWp - HW, np.int32)]
+            )
+        )
+
+        lane_spec = P(None, axes)  # [C, NL] -> lane axis sharded
+        in_specs = (
+            lane_spec,  # states
+            P(),  # stream
+            P(), P(), P(), P(), P(), P(), P(), P(),
+        )
+        return jax.jit(
+            _shard_map(
+                decode_tp_grid,
+                mesh=self.mesh,
+                in_specs=in_specs,
+                out_specs=P(None, axes),  # pixels sharded over the image
+                check_vma=False,
+            )
+        )
 
     def _build(self, prog, nl, n_dev, W):
         from ..entropy.tables_jax import finalize_contexts_device
@@ -718,7 +1031,7 @@ class TPShardedDecoder:
             d_lf_l,  # [S, NLl]
             d_grp_l,
             d_fbkt_l,
-            pix_safe,
+            pix_inv,
             node_mask,
             leaf_inb,
         ):
@@ -852,9 +1165,7 @@ class TPShardedDecoder:
             leaves = J.inverse_lifting(
                 coef, depth, node_mask[None], leaf_inb[None]
             )
-            out = jnp.zeros((C, HW + 1), dtype=jnp.int32)
-            out = out.at[:, pix_safe].set(leaves.reshape(C, -1))
-            planes = jnp.clip(out[:, :HW], 0, 255)
+            planes = jnp.clip(leaves.reshape(C, -1)[:, pix_inv], 0, 255)
             if C == 3:
                 from ..codec.pipeline_jax import _inverse_transform_device
 
@@ -908,7 +1219,7 @@ class TPShardedDecoder:
             states, streams, bits, offpk, scales, vparams, wparams, qdiv,
             tids,
         ) = wire
-        pixels = fn(
+        wire_args = (
             jnp.asarray(states[0]),
             jnp.asarray(streams[0]),
             jnp.asarray(bits[0]),
@@ -919,9 +1230,16 @@ class TPShardedDecoder:
             jnp.asarray(qdiv[0]),
             jnp.asarray(tids[0]),
             prog._lap,
-            *prog._dec_args[:6],
-            *prog._dec_args[6:],
         )
+        if im.mode == "grid" and getattr(prog, "_grid_dense", False):
+            # lane-sharded grid path: output is image-sharded [C, HWp]
+            pixels = fn(*wire_args)[:, : self.height * self.width]
+        else:
+            pixels = fn(
+                *wire_args,
+                *prog._dec_args[:6],
+                *prog._dec_args[6:],
+            )
         return _decode_finish(pixels[None], meta, self.channels)[0]
 
 
