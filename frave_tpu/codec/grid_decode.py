@@ -56,10 +56,11 @@ from ..ops.rans_jax import decode_step_comparefree, prepare_compare_tables
 
 def pallas_rans_enabled(nl: int) -> bool:
     """Whether grid decode routes the per-wave rANS scan through the
-    whole-wave Pallas kernel (ops/pallas_rans.decode_scan_wave).
-    Off by default — measured slower than the XLA scan body on the
-    target chip (see BASELINE.md round-4 grid A/B); FRAVE_GRID_PALLAS=1
-    opts in on real TPU backends."""
+    ARCHIVED whole-wave Pallas kernel (ops/pallas_rans.decode_scan_wave
+    — see its module docstring for the round-5 archival verdict).
+    FRAVE_GRID_PALLAS=1 is an experiment flag for re-measurement on
+    future TPU generations, not a production path: the kernel lost the
+    hardware A/B (XLA scan 8.92 vs 7.12 MP/s, BASELINE.md round 4)."""
     if os.environ.get("FRAVE_GRID_PALLAS") != "1":
         return False
     from ..ops.pallas_lifting import pallas_supported

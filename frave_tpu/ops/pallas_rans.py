@@ -1,5 +1,20 @@
-"""Pallas TPU kernel: the whole rANS decode scan of one wave in ONE
-kernel launch (round 3).
+"""ARCHIVED EXPERIMENT (round 5): Pallas TPU kernel running the whole
+rANS decode scan of one wave in ONE kernel launch (round 3).
+
+Status — measured loser, kept as a documented negative result (VERDICT
+r4 #8 resolution): the hardware A/B (BASELINE.md round 4) has the XLA
+scan at 8.92 MP/s vs this kernel's 7.12 at the widths the kernel
+compiles at, and it does not practically compile at the production
+16384-lane width (>30 min remote Mosaic, twice, plus VMEM stack OOMs).
+Round 5 removed the kernel's remaining encode-side targets too: stream
+compaction is a per-row u32 sort + offset scan and the histogram rides
+MXU one-hots, so no production path waits on a Pallas champion. The
+kernel stays importable for its 4 hardware smoke tests
+(FRAVE_TEST_TPU=1 tests/test_pallas_rans.py) and as the worked example
+of this jax/Mosaic build's miscompile hazards (bf16 dot_general
+rounding, negative traced rolls, sublane+lane reshape rejection —
+documented inline below); the FRAVE_GRID_PALLAS=1 wiring in
+codec/grid_decode.py is an experiment flag, not a production path.
 
 The XLA decode scan (grid mode, ops/rans_jax.decode_step_comparefree)
 costs ~0.5 ms per row at [3, 16384] lanes on the target chip — not from
