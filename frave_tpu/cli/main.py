@@ -289,7 +289,8 @@ def main(argv=None) -> int:
 
     common = dict(
         backend=lambda p: p.add_argument(
-            "--backend", default="auto", choices=["auto", "jax", "numpy"]
+            "--backend", default="auto",
+            choices=["auto", "jax", "numpy", "native"]
         ),
         quality=lambda p: p.add_argument(
             "--quality",

@@ -26,8 +26,29 @@ class FRIDecoder:
             return "numpy"
 
     def decode(self, data: bytes) -> RasterImage:
+        backend = self._select_backend()
+        if backend == "native":
+            # the independent C++ frif implementation (csrc/frif.cpp —
+            # the cross-implementation format oracle, round 5); grid
+            # containers only
+            from ..images import ImageMetadata, ColorSpace
+            from ..native import frif_decode_native
+
+            out = frif_decode_native(data)
+            if out is None:
+                raise RuntimeError(
+                    "native library unavailable (make -C csrc)"
+                )
+            meta = ImageMetadata(
+                height=out.shape[0],
+                width=out.shape[1],
+                colorspace=(
+                    ColorSpace.LUMA if out.shape[2] == 1 else ColorSpace.RGB
+                ),
+            )
+            return RasterImage(metadata=meta, data=out)
         compressed = deserialize(data)
-        if self._select_backend() == "jax":
+        if backend == "jax":
             from .pipeline_jax import decode_pipeline_jax
 
             return decode_pipeline_jax(compressed)

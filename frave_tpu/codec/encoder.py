@@ -61,6 +61,32 @@ class FRIEncoder:
         return self._encode_one(image, backend, self.opts)
 
     def _encode_one(self, image, backend, opts) -> bytes:
+        if backend == "native":
+            # the independent C++ frif implementation (csrc/frif.cpp —
+            # the cross-implementation format oracle, round 5)
+            from ..images import ColorSpace
+            from ..native import frif_encode_native
+            from .channel_transform import choose_transform
+
+            tid = 0
+            if image.metadata.colorspace == ColorSpace.RGB:
+                ct = opts.color_transform
+                tid = choose_transform(
+                    image.data,
+                    "auto" if ct == "trial" else ct,
+                    opts.quality.name == "LOSSLESS",
+                )
+            blob = frif_encode_native(
+                image.data,
+                quality=opts.quality.value,
+                transform=tid,
+                num_lanes=opts.num_lanes or 0,
+            )
+            if blob is None:
+                raise RuntimeError(
+                    "native library unavailable (make -C csrc)"
+                )
+            return blob
         if backend == "jax":
             # rate-adaptive lanes for flat content are handled inside
             # the jax pipeline from the device-computed expected code

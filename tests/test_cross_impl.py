@@ -160,3 +160,25 @@ def test_c_rejects_malformed():
         frif_decode_native(bytes(bad))
     except ValueError:
         pass  # marker corruption may be detected — also fine
+
+
+def test_native_backend_surfaces():
+    """backend="native" on the drivers routes through the C++ oracle."""
+    rng = np.random.default_rng(47)
+    px = _natural(rng, 64, 96, 3)
+    from frave_tpu.codec.decoder import FRIDecoder
+    from frave_tpu.codec.encoder import FRIEncoder
+
+    blob = FRIEncoder(EncoderOptions(backend="native")).encode(px)
+    assert np.array_equal(FRIDecoder(backend="native").decode(blob).data, px)
+    assert np.array_equal(decode_pipeline_np(deserialize(blob)).data, px)
+    # and the native decoder reads Python containers
+    pyblob = serialize(
+        encode_pipeline_np(
+            RasterImage.from_array(px, ColorSpace.RGB),
+            EncoderOptions(mode="grid", num_lanes=32),
+        )
+    )
+    assert np.array_equal(
+        FRIDecoder(backend="native").decode(pyblob).data, px
+    )
