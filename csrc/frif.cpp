@@ -515,6 +515,90 @@ struct Schedule {
   std::vector<int8_t> legacy_of_fine;
 };
 
+// mode="parallel" schedule (schedule.py build_schedule, parallel
+// branch): DC phase A = even canonical tile indices (context-free,
+// widest bucket), phase B = odd tiles with A-parity neighbour taps,
+// root-HF over all tiles, then HF levels 1..depth-1 in canonical
+// (level_slots) order with nbr_par taps. No lattice machinery needed.
+static bool build_parallel_schedule(const Geometry& g, Schedule* out) {
+  const int n = g.n;
+  out->coef.clear();
+  out->nbr.clear();
+  out->group.clear();
+  out->fbkt.clear();
+  out->wave_sizes.clear();
+  out->legacy_of_fine.clear();
+
+  auto push_wave = [&](const std::vector<int32_t>& slots,
+                       const std::vector<int32_t>& taps, int8_t fb,
+                       int8_t legacy) {
+    int fid = (int)out->legacy_of_fine.size();
+    out->legacy_of_fine.push_back(legacy);
+    for (size_t i = 0; i < slots.size(); ++i) {
+      out->coef.push_back(slots[i]);
+      for (int k = 0; k < 6; ++k) out->nbr.push_back(taps[i * 6 + k]);
+      out->group.push_back((int8_t)fid);
+      out->fbkt.push_back(fb);
+    }
+    out->wave_sizes.push_back((int64_t)slots.size());
+  };
+
+  std::vector<int32_t> slots, taps;
+  // wave 0: phase A (even tiles, context-free)
+  for (int64_t t = 0; t < g.T; t += 2) {
+    slots.push_back((int32_t)(t * n));
+    for (int k = 0; k < 6; ++k) taps.push_back(-1);
+  }
+  push_wave(slots, taps, (int8_t)(kContexts - 1), 2);
+
+  // wave 1: phase B (odd tiles, taps = even-neighbour DCs)
+  slots.clear();
+  taps.clear();
+  for (int64_t t = 1; t < g.T; t += 2) {
+    slots.push_back((int32_t)(t * n));
+    for (int k = 0; k < 6; ++k) {
+      int32_t u = g.tile_nbr[t * 6 + k];
+      taps.push_back((u >= 0 && u % 2 == 0) ? (int32_t)((int64_t)u * n)
+                                            : -1);
+    }
+  }
+  push_wave(slots, taps, -1, 2);
+
+  // wave 2: root-HF, all tiles
+  slots.clear();
+  taps.clear();
+  for (int64_t t = 0; t < g.T; ++t) {
+    slots.push_back((int32_t)(t * n + 1));
+    for (int k = 0; k < 6; ++k) {
+      int32_t u = g.tile_nbr[t * 6 + k];
+      taps.push_back(u >= 0 ? (int32_t)((int64_t)u * n) : -1);
+    }
+  }
+  push_wave(slots, taps, -1, 2);
+
+  // HF levels in canonical order (level_slots layout: T entries for
+  // level 0, then T * 2^L per level)
+  int64_t off = g.T;
+  for (int L = 1; L < kDepth; ++L) {
+    int64_t cnt = g.T << L;
+    slots.clear();
+    taps.clear();
+    for (int64_t i = 0; i < cnt; ++i) {
+      int32_t slot = g.level_slots[off + i];
+      if (!g.coef_mask[slot]) continue;
+      slots.push_back(slot);
+      for (int k = 0; k < 6; ++k)
+        taps.push_back(g.nbr_par[(int64_t)slot * 6 + k]);
+    }
+    int8_t legacy = L == kDepth - 1 ? 0 : (L == kDepth - 2 ? 1 : 2);
+    push_wave(slots, taps, -1, legacy);
+    off += cnt;
+  }
+  out->num_fine = (int)out->legacy_of_fine.size();
+  out->K = (int64_t)out->coef.size();
+  return true;
+}
+
 static bool build_grid_schedule(const Geometry& g, Schedule* out) {
   const int n = g.n;
   std::vector<V2> lit = frgeo::literals(30);
@@ -859,22 +943,25 @@ struct Reader {
   }
 };
 
-// ---- schedule cache (geometry + schedule per (h, w)) -----------------
+// ---- schedule cache (geometry + schedule per (h, w, mode)) -----------
 struct Cached {
-  int h = -1, w = -1;
+  int h = -1, w = -1, mode = -1;
   Geometry g;
   Schedule s;
 };
 static Cached g_cache;
 
-static bool get_geo_sched(int h, int w, const Geometry** g,
+static bool get_geo_sched(int h, int w, int mode, const Geometry** g,
                           const Schedule** s) {
-  if (g_cache.h != h || g_cache.w != w) {
+  if (g_cache.h != h || g_cache.w != w || g_cache.mode != mode) {
     Cached c;
     if (!c.g.build(h, w)) return false;
-    if (!build_grid_schedule(c.g, &c.s)) return false;
+    bool ok = mode == 2 ? build_grid_schedule(c.g, &c.s)
+                        : build_parallel_schedule(c.g, &c.s);
+    if (!ok) return false;
     c.h = h;
     c.w = w;
+    c.mode = mode;
     g_cache = std::move(c);
   }
   *g = &g_cache.g;
@@ -882,27 +969,70 @@ static bool get_geo_sched(int h, int w, const Geometry** g,
   return true;
 }
 
-// lane layout (grid mode): row base per wave, rank -> (row, lane)
+// lane layout: per-symbol (row, lane) in the emission grid plus the
+// step table (symbols per decode step, ordered by lane — the global
+// stream's word order within a step is channel-major, lane-minor;
+// schedule.build_lane_steps / build_stream_perm semantics).
+//   mode=grid: rows are steps — row = wave row base + rank/nl,
+//     lane = rank % nl (rank = position within the wave);
+//   mode=parallel: waves chunk into <= nl symbols per step, k
+//     contiguous within a step, lane = k % nl (steps may wrap), word
+//     row of symbol k = k / nl.
 struct LaneLayout {
   int nl;
-  int64_t R;
-  std::vector<int64_t> wave_start;  // symbol index base per wave
-  std::vector<int64_t> row_base;    // row base per wave
+  int64_t R;  // emission-grid rows
+  std::vector<int32_t> lane_of;  // [K]
+  std::vector<int64_t> row_of;   // [K]
+  std::vector<std::vector<std::pair<int32_t, int64_t>>> steps;  // (lane, k)
 };
 
-static LaneLayout lane_layout(const Schedule& s, int nl) {
+static LaneLayout lane_layout(const Schedule& s, int nl, bool grid_mode) {
   LaneLayout L;
   L.nl = nl;
-  int64_t k = 0, r = 0;
-  for (int64_t ws : s.wave_sizes) {
-    L.wave_start.push_back(k);
-    L.row_base.push_back(r);
-    k += ws;
-    r += (ws + nl - 1) / nl;
+  L.lane_of.resize(s.K);
+  L.row_of.resize(s.K);
+  if (grid_mode) {
+    int64_t k0 = 0, rbase = 0;
+    for (int64_t ws : s.wave_sizes) {
+      int64_t rows = (ws + nl - 1) / nl;
+      for (int64_t r = 0; r < rows; ++r) {
+        std::vector<std::pair<int32_t, int64_t>> v;
+        for (int l = 0; l < nl; ++l) {
+          int64_t rank = r * nl + l;
+          if (rank >= ws) break;
+          int64_t k = k0 + rank;
+          L.lane_of[k] = l;
+          L.row_of[k] = rbase + r;
+          v.emplace_back(l, k);
+        }
+        L.steps.push_back(std::move(v));
+      }
+      k0 += ws;
+      rbase += rows;
+    }
+    L.R = rbase;
+  } else {
+    for (int64_t k = 0; k < s.K; ++k) {
+      L.lane_of[k] = (int32_t)(k % nl);
+      L.row_of[k] = k / nl;
+    }
+    L.R = (s.K + nl - 1) / nl;
+    int64_t k = 0;
+    for (int64_t ws : s.wave_sizes) {
+      int64_t rem = ws;
+      while (rem > 0) {
+        int64_t take = rem < nl ? rem : nl;
+        std::vector<std::pair<int32_t, int64_t>> v;
+        v.reserve(take);
+        for (int64_t i = 0; i < take; ++i)
+          v.emplace_back((int32_t)((k + i) % nl), k + i);
+        std::sort(v.begin(), v.end());
+        L.steps.push_back(std::move(v));
+        k += take;
+        rem -= take;
+      }
+    }
   }
-  L.wave_start.push_back(k);
-  L.row_base.push_back(r);
-  L.R = r;
   return L;
 }
 
@@ -947,7 +1077,7 @@ int frif_decode(const uint8_t* blob, int64_t len, uint8_t* out_pixels) {
   int C = cs == 0b01 ? 1 : 3;
   r.u8();  // quality (decode ignores; qm travels explicitly)
   int mode = r.u8();
-  if (mode != 2) return 3;  // native oracle speaks mode="grid" only
+  if (mode != 0 && mode != 2) return 3;  // parallel + grid (not parity)
   int nl = r.u16();
   if (nl < 1) return 4;
   int tid = r.u8();
@@ -958,9 +1088,9 @@ int frif_decode(const uint8_t* blob, int64_t len, uint8_t* out_pixels) {
 
   const Geometry* g;
   const Schedule* s;
-  if (!get_geo_sched(h, w, &g, &s)) return 7;
+  if (!get_geo_sched(h, w, mode, &g, &s)) return 7;
   const int n = g->n;
-  LaneLayout lay = lane_layout(*s, nl);
+  LaneLayout lay = lane_layout(*s, nl, mode == 2);
 
   // per-haar-index divisors: layer = floor(log2(j + 1))
   std::vector<int32_t> qdiv(n);
@@ -1043,54 +1173,49 @@ int frif_decode(const uint8_t* blob, int64_t len, uint8_t* out_pixels) {
     return (uint32_t)(stream_bytes[2 * i] | (stream_bytes[2 * i + 1] << 8));
   };
 
-  // ---- serial grid decode: rows ascending; within a row channels
+  // ---- serial decode: steps ascending; within a step channels
   // ascending, lanes ascending (= the global stream word order,
-  // schedule.build_stream_perm for rows_are_steps)
+  // schedule.build_stream_perm). Symbols within a wave depend only on
+  // earlier waves (parallel/grid property), so step order within a
+  // wave is free — only the word-pull order matters.
   std::vector<int32_t> coef((size_t)C * g->T * n, 0);
   int64_t gptr = 0;
-  int64_t nw = (int64_t)s->wave_sizes.size();
-  for (int64_t wv = 0; wv < nw; ++wv) {
-    int64_t ws = s->wave_sizes[wv];
-    int64_t k0 = lay.wave_start[wv];
-    int64_t rows = (ws + nl - 1) / nl;
-    for (int64_t rr = 0; rr < rows; ++rr) {
-      for (int ch = 0; ch < C; ++ch) {
-        int32_t* cf = &coef[(size_t)ch * g->T * n];
-        const float* vpc = &vp[(size_t)ch * F * 6];
-        const float* wpc = &wp[(size_t)ch * F * 6];
-        for (int l = 0; l < nl; ++l) {
-          int64_t rank = rr * nl + l;
-          if (rank >= ws) break;  // padding lanes are inactive
-          int64_t k = k0 + rank;
-          int bucket;
-          int32_t pred;
-          context_of(&s->nbr[(size_t)k * 6], cf,
-                     &vpc[(size_t)s->group[k] * 6],
-                     &wpc[(size_t)s->group[k] * 6], s->fbkt[k], &bucket,
-                     &pred);
-          const Ctx& cx = ctx[(size_t)ch * kContexts + bucket];
-          uint32_t& x = states[(size_t)ch * nl + l];
-          uint32_t mask = (1u << cx.bits) - 1;
-          uint32_t slot = x & mask;
-          // last symbol with cdf <= slot (duplicate-cdf "last wins",
-          // ops/rans.py StreamDecoder)
-          int lo2 = 0, hi2 = kAlphabet - 1;
-          while (lo2 < hi2) {
-            int mid = (lo2 + hi2 + 1) >> 1;
-            if (cx.cdf[mid] <= slot)
-              lo2 = mid;
-            else
-              hi2 = mid - 1;
-          }
-          int sym = lo2;
-          x = cx.freqs[sym] * (x >> cx.bits) + slot - cx.cdf[sym];
-          if (x < kRansL) {
-            x = (x << 16) | stream_word(gptr);
-            ++gptr;
-          }
-          int32_t rs = (sym % 2 == 0) ? sym / 2 : -((sym + 1) / 2);
-          cf[s->coef[k]] = rs + pred;
+  for (const auto& step : lay.steps) {
+    for (int ch = 0; ch < C; ++ch) {
+      int32_t* cf = &coef[(size_t)ch * g->T * n];
+      const float* vpc = &vp[(size_t)ch * F * 6];
+      const float* wpc = &wp[(size_t)ch * F * 6];
+      for (const auto& lk : step) {
+        int l = lk.first;
+        int64_t k = lk.second;
+        int bucket;
+        int32_t pred;
+        context_of(&s->nbr[(size_t)k * 6], cf,
+                   &vpc[(size_t)s->group[k] * 6],
+                   &wpc[(size_t)s->group[k] * 6], s->fbkt[k], &bucket,
+                   &pred);
+        const Ctx& cx = ctx[(size_t)ch * kContexts + bucket];
+        uint32_t& x = states[(size_t)ch * nl + l];
+        uint32_t mask = (1u << cx.bits) - 1;
+        uint32_t slot = x & mask;
+        // last symbol with cdf <= slot (duplicate-cdf "last wins",
+        // ops/rans.py StreamDecoder)
+        int lo2 = 0, hi2 = kAlphabet - 1;
+        while (lo2 < hi2) {
+          int mid = (lo2 + hi2 + 1) >> 1;
+          if (cx.cdf[mid] <= slot)
+            lo2 = mid;
+          else
+            hi2 = mid - 1;
         }
+        int sym = lo2;
+        x = cx.freqs[sym] * (x >> cx.bits) + slot - cx.cdf[sym];
+        if (x < kRansL) {
+          x = (x << 16) | stream_word(gptr);
+          ++gptr;
+        }
+        int32_t rs = (sym % 2 == 0) ? sym / 2 : -((sym + 1) / 2);
+        cf[s->coef[k]] = rs + pred;
       }
     }
   }
@@ -1109,18 +1234,20 @@ int frif_decode(const uint8_t* blob, int64_t len, uint8_t* out_pixels) {
   return 0;
 }
 
-// Encode pixels [h*w*C] u8 (interleaved) into a frif v9 mode="grid"
-// container. quality: 0..3 wire value (3 = LOSSLESS); transform: 0..3
+// Encode pixels [h*w*C] u8 (interleaved) into a frif v9 container.
+// quality: 0..3 wire value (3 = LOSSLESS); transform: 0..3
 // channel-transform id (ignored for C == 1); nl_req: lane count (<= 0
-// -> default heuristic). Caller frees *out_blob with frif_free.
+// -> default heuristic); mode: 0 = parallel, 2 = grid (wire
+// encodings). Caller frees *out_blob with frif_free.
 int frif_encode(int h, int w, int C, const uint8_t* pixels, int quality,
-                int transform, int nl_req, uint8_t** out_blob,
+                int transform, int nl_req, int mode, uint8_t** out_blob,
                 int64_t* out_len) {
   if (C != 1 && C != 3) return 1;
   if (transform < 0 || transform > 3) return 1;
+  if (mode != 0 && mode != 2) return 1;
   const Geometry* g;
   const Schedule* s;
-  if (!get_geo_sched(h, w, &g, &s)) return 2;
+  if (!get_geo_sched(h, w, mode, &g, &s)) return 2;
   const int n = g->n;
   const int64_t K = s->K;
   int F = s->num_fine;
@@ -1153,7 +1280,7 @@ int frif_encode(int h, int w, int C, const uint8_t* pixels, int quality,
     nl = 1;
     while ((int64_t)nl * 2 <= target) nl *= 2;
   }
-  LaneLayout lay = lane_layout(*s, nl);
+  LaneLayout lay = lane_layout(*s, nl, mode == 2);
   int64_t R = lay.R;
 
   int64_t hw = (int64_t)h * w;
@@ -1174,7 +1301,7 @@ int frif_encode(int h, int w, int C, const uint8_t* pixels, int quality,
   wtr.u32((uint32_t)w);
   wtr.u8((uint8_t)(((C == 1 ? 0b01 : 0b10) << 4) | 0b01));  // cs | variant
   wtr.u8((uint8_t)quality);
-  wtr.u8(2);  // mode = grid
+  wtr.u8((uint8_t)mode);
   wtr.u16((uint16_t)nl);
   wtr.u8((uint8_t)tid);
   for (int i = 0; i < 32; ++i) wtr.u16((uint16_t)qm[i]);
@@ -1315,34 +1442,24 @@ int frif_encode(int h, int w, int C, const uint8_t* pixels, int quality,
         return 4;
     }
 
-    // --- interleaved-lane rANS: reverse scan over grid rows
+    // --- interleaved-lane rANS: global reverse-k scan (processes each
+    // lane's symbols in reverse per-lane order — LIFO, ops/rans.py)
     std::vector<uint32_t> x((size_t)nl, kRansL);
-    int64_t nwv = (int64_t)s->wave_sizes.size();
-    for (int64_t wv = nwv - 1; wv >= 0; --wv) {
-      int64_t ws = s->wave_sizes[wv];
-      int64_t k0 = lay.wave_start[wv];
-      int64_t rows = (ws + nl - 1) / nl;
-      for (int64_t rr = rows - 1; rr >= 0; --rr) {
-        int64_t row_g = lay.row_base[wv] + rr;
-        for (int l = nl - 1; l >= 0; --l) {
-          int64_t rank = rr * nl + l;
-          if (rank >= ws) continue;
-          int64_t k = k0 + rank;
-          const Ctx& cx = cxc[bkt[k]];
-          uint32_t fr = cx.freqs[sym[k]];
-          uint32_t cd = cx.cdf[sym[k]];
-          if (fr == 0) return 5;
-          uint32_t& xs = x[l];
-          // renorm: emit iff (x >> (32 - bits)) >= freq
-          if ((xs >> (32 - cx.bits)) >= fr) {
-            words[((size_t)row_g * C + ch) * nl + l] =
-                (uint16_t)(xs & 0xffff);
-            flags[((size_t)row_g * C + ch) * nl + l] = 1;
-            xs >>= 16;
-          }
-          xs = ((xs / fr) << cx.bits) + (xs % fr) + cd;
-        }
+    for (int64_t k = K - 1; k >= 0; --k) {
+      int l = lay.lane_of[k];
+      int64_t row_g = lay.row_of[k];
+      const Ctx& cx = cxc[bkt[k]];
+      uint32_t fr = cx.freqs[sym[k]];
+      uint32_t cd = cx.cdf[sym[k]];
+      if (fr == 0) return 5;
+      uint32_t& xs = x[l];
+      // renorm: emit iff (x >> (32 - bits)) >= freq
+      if ((xs >> (32 - cx.bits)) >= fr) {
+        words[((size_t)row_g * C + ch) * nl + l] = (uint16_t)(xs & 0xffff);
+        flags[((size_t)row_g * C + ch) * nl + l] = 1;
+        xs >>= 16;
       }
+      xs = ((xs / fr) << cx.bits) + (xs % fr) + cd;
     }
     for (int l = 0; l < nl; ++l) fin_states[(size_t)ch * nl + l] = x[l];
   }
@@ -1382,11 +1499,17 @@ int frif_encode(int h, int w, int C, const uint8_t* pixels, int quality,
     wtr.u16(kMarkerEOC);
   }
 
-  // ---- global stream: rows ascending, channel-major, lane-minor
+  // ---- global stream: steps ascending, channel-major, lane-minor
+  // (equals flat [R, C, NL] order in grid mode where rows are steps)
   std::vector<uint16_t> stream;
   stream.reserve((size_t)K * C / 3);
-  for (int64_t rcnl = 0; rcnl < (int64_t)R * C * nl; ++rcnl)
-    if (flags[rcnl]) stream.push_back(words[rcnl]);
+  for (const auto& step : lay.steps)
+    for (int ch = 0; ch < C; ++ch)
+      for (const auto& lk : step) {
+        size_t idx =
+            ((size_t)lay.row_of[lk.second] * C + ch) * nl + lk.first;
+        if (flags[idx]) stream.push_back(words[idx]);
+      }
   wtr.u16(kMarkerSDT);
   wtr.u32((uint32_t)stream.size());
   for (uint16_t wv : stream) wtr.u16(wv);

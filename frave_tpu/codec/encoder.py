@@ -81,6 +81,7 @@ class FRIEncoder:
                 quality=opts.quality.value,
                 transform=tid,
                 num_lanes=opts.num_lanes or 0,
+                mode=opts.mode,
             )
             if blob is None:
                 raise RuntimeError(

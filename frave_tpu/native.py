@@ -116,6 +116,7 @@ def _try_load(expect_sha: Optional[str]) -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         ctypes.c_int,
         ctypes.c_int,
+        ctypes.c_int,
         ctypes.POINTER(ctypes.c_void_p),
         ctypes.POINTER(ctypes.c_int64),
     ]
@@ -317,10 +318,12 @@ def frif_encode_native(
     quality: int = 3,
     transform: int = 0,
     num_lanes: int = 0,
+    mode: str = "grid",
 ):
-    """Encode [h, w, C] uint8 pixels into a frif v9 mode="grid"
-    container with the independent C++ implementation. Returns bytes,
-    or None when the native library is unavailable."""
+    """Encode [h, w, C] uint8 pixels into a frif v9 container
+    (mode="grid" or "parallel") with the independent C++
+    implementation. Returns bytes, or None when the native library is
+    unavailable."""
     lib = get_lib()
     if lib is None:
         return None
@@ -332,9 +335,10 @@ def frif_encode_native(
     h, w, c = arr.shape
     blob_p = ctypes.c_void_p()
     blob_len = ctypes.c_int64()
+    mode_enc = {"parallel": 0, "grid": 2}[mode]
     rc = lib.frif_encode(
         h, w, c, arr.ctypes.data, quality, transform, num_lanes,
-        ctypes.byref(blob_p), ctypes.byref(blob_len),
+        mode_enc, ctypes.byref(blob_p), ctypes.byref(blob_len),
     )
     if rc != 0:
         raise ValueError(f"frif_encode failed (rc={rc})")

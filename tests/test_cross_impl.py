@@ -182,3 +182,33 @@ def test_native_backend_surfaces():
     assert np.array_equal(
         FRIDecoder(backend="native").decode(pyblob).data, px
     )
+
+
+@pytest.mark.parametrize("c", [1, 3])
+def test_cross_decode_parallel_mode(c):
+    """Round 5 extension: the C++ oracle also speaks mode="parallel"
+    wires (chunked-wave lane layout, wrapped in-step lanes) — both
+    directions, gray and RGB."""
+    rng = np.random.default_rng(53 + c)
+    px = _natural(rng, 64, 96, c)
+    cs = ColorSpace.LUMA if c == 1 else ColorSpace.RGB
+    im = RasterImage.from_array(px, cs)
+    opts = EncoderOptions(mode="parallel", num_lanes=32)
+    blob = serialize(encode_pipeline_np(im, opts))
+    assert np.array_equal(frif_decode_native(blob), px)
+    cblob = frif_encode_native(px, num_lanes=32, mode="parallel")
+    ci = deserialize(cblob)
+    assert ci.mode == "parallel"
+    assert np.array_equal(decode_pipeline_np(ci).data, px)
+    assert np.array_equal(_jax_decode(ci), px)
+
+
+def test_c_decodes_v8_parallel_goldens():
+    """Historical v8 (parallel-mode, pre-scale-byte) golden containers
+    decode bit-exactly in the independent implementation."""
+    for name in ("v8_gray", "v8_rgb"):
+        blob = open(os.path.join(_DATA, f"{name}.frv"), "rb").read()
+        ref = np.load(os.path.join(_DATA, f"{name}.npy"))
+        if ref.ndim == 2:
+            ref = ref[..., None]
+        assert np.array_equal(frif_decode_native(blob), ref)
