@@ -1051,7 +1051,7 @@ int frif_probe(const uint8_t* blob, int64_t len, int* out_h, int* out_w,
   if (!r.need(4) || std::memcmp(r.p, "frif", 4) != 0) return 1;
   r.p += 4;
   int version = r.u8();
-  if (version < 8 || version > kVersion) return 2;
+  if (version < 7 || version > kVersion) return 2;
   uint32_t h = r.u32(), w = r.u32();
   uint8_t mdat = r.u8();
   int cs = mdat >> 4;
@@ -1070,7 +1070,7 @@ int frif_decode(const uint8_t* blob, int64_t len, uint8_t* out_pixels) {
   if (!r.need(4) || std::memcmp(r.p, "frif", 4) != 0) return 1;
   r.p += 4;
   int version = r.u8();
-  if (version < 8 || version > kVersion) return 2;
+  if (version < 7 || version > kVersion) return 2;
   int h = (int)r.u32(), w = (int)r.u32();
   uint8_t mdat = r.u8();
   int cs = mdat >> 4;
@@ -1107,11 +1107,28 @@ int frif_decode(const uint8_t* blob, int64_t len, uint8_t* out_pixels) {
 
   for (int ch = 0; ch < C; ++ch) {
     if (r.u16() != kMarkerPRD) return 8;
-    int nfit = r.u8();
-    if (nfit < 1) return 9;
-    std::vector<float> vrows((size_t)nfit * 6), wrows((size_t)nfit * 6);
-    for (int i = 0; i < nfit * 6; ++i) vrows[i] = f16_to_f32(r.u16());
-    for (int i = 0; i < nfit * 6; ++i) wrows[i] = f16_to_f32(r.u16());
+    int nfit;
+    std::vector<float> vrows, wrows;
+    if (version >= 8) {
+      nfit = r.u8();
+      if (nfit < 1) return 9;
+      vrows.resize((size_t)nfit * 6);
+      wrows.resize((size_t)nfit * 6);
+      for (int i = 0; i < nfit * 6; ++i) vrows[i] = f16_to_f32(r.u16());
+      for (int i = 0; i < nfit * 6; ++i) wrows[i] = f16_to_f32(r.u16());
+    } else {  // v7: fixed 3 coarse rows, f32 on the wire
+      nfit = 3;
+      vrows.resize(18);
+      wrows.resize(18);
+      for (int i = 0; i < 18; ++i) {
+        uint32_t b = r.u32();
+        std::memcpy(&vrows[i], &b, 4);
+      }
+      for (int i = 0; i < 18; ++i) {
+        uint32_t b = r.u32();
+        std::memcpy(&wrows[i], &b, 4);
+      }
+    }
     if (!r.ok) return 10;
     for (int i = 0; i < nfit * 6; ++i)
       if (std::isnan(vrows[i]) || std::isinf(vrows[i]) ||

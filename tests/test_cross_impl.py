@@ -204,11 +204,33 @@ def test_cross_decode_parallel_mode(c):
 
 
 def test_c_decodes_v8_parallel_goldens():
-    """Historical v8 (parallel-mode, pre-scale-byte) golden containers
-    decode bit-exactly in the independent implementation."""
-    for name in ("v8_gray", "v8_rgb"):
+    """EVERY historical golden container (v7 f32-param parallel, v8
+    f16-per-level parallel, v9 grid) decodes bit-exactly in the
+    independent implementation."""
+    for name in ("v7_gray", "v7_rgb", "v8_gray", "v8_rgb"):
         blob = open(os.path.join(_DATA, f"{name}.frv"), "rb").read()
         ref = np.load(os.path.join(_DATA, f"{name}.npy"))
         if ref.ndim == 2:
             ref = ref[..., None]
         assert np.array_equal(frif_decode_native(blob), ref)
+
+
+def test_native_decoder_corruption_fuzz():
+    """Wire-driven corruption must never crash the C++ decoder: random
+    byte flips either decode to something (pixels may differ) or raise
+    a parse error — outcome-counted like tests/test_robustness.py."""
+    rng = np.random.default_rng(61)
+    px = _natural(rng, 48, 64, 1)
+    blob = bytearray(frif_encode_native(px, num_lanes=16))
+    outcomes = {"decoded": 0, "rejected": 0}
+    for _ in range(60):
+        bad = bytearray(blob)
+        i = int(rng.integers(5, len(bad)))
+        bad[i] ^= int(rng.integers(1, 256))
+        try:
+            out = frif_decode_native(bytes(bad))
+            assert out.shape == px.shape
+            outcomes["decoded"] += 1
+        except ValueError:
+            outcomes["rejected"] += 1
+    assert sum(outcomes.values()) == 60
