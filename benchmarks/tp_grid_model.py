@@ -11,17 +11,19 @@ lane-sharded grid path (parallel/sharded.TPShardedDecoder._build_grid):
     (value, flag) plane gather that capped scaling at ~1.2x
     (tp_decode_model.py);
   * per WAVE one values all_gather (total = K*C i32 over the image)
-    feeds the replicated bulk grid machinery (tap planes, scatters,
-    tables, lifting stay replicated; pack gathers + context math and
-    the final pixel gather are sharded).
+    feeds the bulk grid machinery; tap planes and scatters stay
+    replicated, while pack gathers + context math, the final pixel
+    gather, the per-context table regeneration (flattened over the
+    C*CA contexts) and dequant + inverse lifting (tile-axis split, one
+    leaves all_gather) are all sharded.
 
 Projection from the measured 2048x2048 RGB single-chip splits
 (grid_cost_probe + decode-tail probes, 2026-08-21, this repo):
 
     scan 0.147 s (sharded) | pack+ctx 0.062 (sharded) |
-    pixel gather 0.049 (sharded) | tap planes 0.033 (repl) |
-    scatters+to_grid 0.047 (repl) | tables 0.047 (repl) |
-    lifting 0.024 (repl) | misc 0.03 (repl)
+    pixel gather 0.049 (sharded) | tables 0.047 (sharded) |
+    lifting 0.024 (sharded) | tap planes 0.033 (repl) |
+    scatters+to_grid 0.047 (repl) | misc 0.03 (repl)
 
     python benchmarks/tp_grid_model.py
 """
@@ -30,13 +32,21 @@ from __future__ import annotations
 
 import json
 
-# measured single-chip splits at 2048x2048 RGB (seconds)
-SHARDED = {"scan": 0.147, "pack_ctx": 0.062, "pixels": 0.049}
+# measured single-chip splits at 2048x2048 RGB (seconds).
+# Round-5 second pass moved two more stages into the sharded set:
+# tables (per-context finalize + compare planes, flattened over the
+# C*CA contexts, one ~190 KB plane all_gather) and dequant+lifting
+# (tile-axis split, one [C, T*N] i32 ~63 MB leaves all_gather).
+SHARDED = {
+    "scan": 0.147,
+    "pack_ctx": 0.062,
+    "pixels": 0.049,
+    "tables": 0.047,
+    "lifting": 0.024,
+}
 REPLICATED = {
     "tap_planes": 0.033,
     "scatters": 0.047,
-    "tables": 0.047,
-    "lifting": 0.024,
     "misc": 0.030,
 }
 # per-step collective: [n_dev, C] i32 counts, latency-bound (~5 us on
@@ -44,6 +54,9 @@ REPLICATED = {
 ROWS = 266
 ICI_STEP_S = 5e-6
 WAVE_GATHER_S = 11 * 50e-6  # ~4 MB values over ICI per image total
+# one-shot gathers of the second pass: compare planes (~190 KB) +
+# leaves ([C, T*N] i32 ~63 MB at 45 GB/s effective ICI, conservative)
+ONESHOT_GATHER_S = 0.0001 + 0.002
 
 
 def main() -> int:
@@ -61,7 +74,11 @@ def main() -> int:
         tn = (
             sum(SHARDED.values()) / n
             + sum(REPLICATED.values())
-            + (ROWS * ICI_STEP_S + WAVE_GATHER_S if n > 1 else 0.0)
+            + (
+                ROWS * ICI_STEP_S + WAVE_GATHER_S + ONESHOT_GATHER_S
+                if n > 1
+                else 0.0
+            )
         )
         print(
             json.dumps(
@@ -77,9 +94,9 @@ def main() -> int:
             {
                 "note": "step-tensor TP path capped at ~1.2x "
                 "(tp_decode_model.py); the grid path's replicated bulk "
-                "ops floor it at ~2.4x for n -> inf at this shape — "
+                "ops floor it at ~4x for n -> inf at this shape — "
                 "sharding the tap planes/scatters (halo rows over the "
-                "grid A axis) is the next headroom"
+                "grid A axis) is the last headroom"
             }
         )
     )

@@ -703,7 +703,18 @@ class TPShardedDecoder:
         (tp_decode_model.py). Per WAVE (not per step) one values
         all_gather rebuilds the dense grids for the replicated bulk
         tap/scatter machinery; the final pixel gather is sharded over
-        the image. Cost model: benchmarks/tp_grid_model.py."""
+        the image.
+
+        Two more stages are sharded OUTSIDE the scan (round 5, second
+        pass): (a) the per-context freq-table regeneration + compare
+        -table build — the C*CONTEXT_AMOUNT contexts are flattened,
+        each shard finalizes its slice, and only the tiny compare
+        planes (~4 KB/context) are all_gathered; (b) dequant + inverse
+        lifting — sharded over the tile axis, one [C, T*N] i32 leaves
+        all_gather feeds the sharded pixel gather. Both collectives
+        are one-shot and loop-invariant, so the while-body collective
+        stays the [n_dev, C] count gather. Cost model:
+        benchmarks/tp_grid_model.py."""
         from ..codec.grid_decode import (
             _broadcast_parent,
             _tap_planes,
@@ -762,30 +773,66 @@ class TPShardedDecoder:
         iota_dev = jnp.arange(n_dev, dtype=jnp.int32)
         HWl = -(-HW // n_dev)
         HWp = HWl * n_dev
+        # sharded table build: flatten the (C, CA) contexts
+        Kc = C * CONTEXT_AMOUNT
+        Kl = -(-Kc // n_dev)
+        Kp = Kl * n_dev
+        # sharded lifting: tile-axis split (n_slots == T * N)
+        Tl = -(-T // n_dev)
+        Tp = Tl * n_dev
 
         def decode_tp_grid(
             states_l,  # [C, NLl] uint32 (lane-sharded)
             stream,  # [W] uint16 (replicated)
             wire_bits, offpk, scpk, vparams, wparams, qdiv, tid, lap,
         ):
-            shifts32 = jnp.arange(32, dtype=jnp.uint32)
-            off_mask = (
-                ((offpk[..., None] >> shifts32) & jnp.uint32(1)) > 0
-            ).reshape(C, CONTEXT_AMOUNT, ALPHABET_SIZE)
-            zero_hist = jnp.zeros(
-                (C, CONTEXT_AMOUNT, ALPHABET_SIZE), jnp.int32
-            )
-            bits, _, cdfs_i, _ = finalize_contexts_device(
-                zero_hist, lap, bits0=wire_bits, off_mask_in=off_mask,
-                scale_idx=scpk,
-            )
-            tabs = prepare_compare_tables(cdfs_i, bits)
-
             s_idx = jax.lax.axis_index(axes[0]) if len(axes) == 1 else (
                 jax.lax.axis_index(axes[0]) * self.mesh.shape[axes[1]]
                 + jax.lax.axis_index(axes[1])
             )
             lane_lo = s_idx * NLl
+
+            # ---- SHARDED table regeneration: each shard finalizes
+            # Kl of the Kc = C*CA contexts (the scale_idx branch of
+            # finalize_contexts_device is position-independent over
+            # the context axis), then only the compare planes —
+            # [Kl, 32, 32] bf16 etc., ~4 KB/context — are gathered.
+            shifts32 = jnp.arange(32, dtype=jnp.uint32)
+            off_mask = (
+                ((offpk[..., None] >> shifts32) & jnp.uint32(1)) > 0
+            ).reshape(Kc, ALPHABET_SIZE)
+            bits_f = jnp.concatenate(
+                [
+                    wire_bits.reshape(Kc).astype(jnp.int32),
+                    jnp.full((Kp - Kc,), 8, jnp.int32),
+                ]
+            )
+            off_f = jnp.concatenate(
+                [off_mask, jnp.zeros((Kp - Kc, ALPHABET_SIZE), bool)]
+            )
+            sc_f = jnp.concatenate(
+                [
+                    scpk.reshape(Kc).astype(jnp.int32),
+                    jnp.zeros((Kp - Kc,), jnp.int32),
+                ]
+            )
+            ctx_lo = s_idx * Kl
+            bits_l, _, cdfs_l, _ = finalize_contexts_device(
+                jnp.zeros((Kl, ALPHABET_SIZE), jnp.int32),
+                lap,
+                bits0=jax.lax.dynamic_slice(bits_f, (ctx_lo,), (Kl,)),
+                off_mask_in=jax.lax.dynamic_slice(
+                    off_f, (ctx_lo, 0), (Kl, ALPHABET_SIZE)
+                ),
+                scale_idx=jax.lax.dynamic_slice(sc_f, (ctx_lo,), (Kl,)),
+            )
+            tabs_l = prepare_compare_tables(cdfs_l, bits_l)
+            tabs = {
+                k: jax.lax.all_gather(v, axes, axis=0, tiled=True)[
+                    :Kc
+                ].reshape((C, CONTEXT_AMOUNT) + v.shape[1:])
+                for k, v in tabs_l.items()
+            }
 
             if packed:
                 qpad = jnp.full((n_slots + 1,), _PACK_ZERO, jnp.uint32)
@@ -952,18 +999,48 @@ class TPShardedDecoder:
                 qpad = scatter_coefs(qpad, wd, vv)
                 parent = to_grid(wd, vv)
 
-            # ---- replicated dequant + inverse lifting; pixel gather
-            # SHARDED over the image (each shard assembles HW/n pixels)
+            # ---- SHARDED dequant + inverse lifting over the tile
+            # axis (lifting is per-tile; one [C, T*N] i32 leaves
+            # all_gather feeds the sharded pixel assembly below)
+            tile_lo = s_idx * Tl * N
             if packed:
-                qcoef = _unpack3(qpad[:n_slots]).reshape(C, T, N)
-            else:
-                qcoef = qpad[:, :n_slots].astype(jnp.int32).reshape(
-                    C, T, N
+                qpad_p = jnp.concatenate(
+                    [
+                        qpad[:n_slots],
+                        jnp.full(
+                            (Tp * N - n_slots,), _PACK_ZERO, jnp.uint32
+                        ),
+                    ]
                 )
-            coef = J.dequantize(qcoef, qdiv[None, None, :])
-            leaves = J.inverse_lifting(
-                coef, depth, node_mask_dev[None], leaf_inb_dev[None]
-            ).reshape(C, T * N)
+                q_l = jax.lax.dynamic_slice(
+                    qpad_p, (tile_lo,), (Tl * N,)
+                )
+                qcoef_l = _unpack3(q_l).reshape(C, Tl, N)
+            else:
+                qpad_p = jnp.concatenate(
+                    [
+                        qpad[:, :n_slots],
+                        jnp.zeros((C, Tp * N - n_slots), jnp.int16),
+                    ],
+                    axis=1,
+                )
+                q_l = jax.lax.dynamic_slice(
+                    qpad_p, (0, tile_lo), (C, Tl * N)
+                )
+                qcoef_l = q_l.astype(jnp.int32).reshape(C, Tl, N)
+            coef_l = J.dequantize(qcoef_l, qdiv[None, None, :])
+            nm_l = jax.lax.dynamic_slice(
+                node_mask_pad, (s_idx * Tl, 0), (Tl, N)
+            )
+            lm_l = jax.lax.dynamic_slice(
+                leaf_inb_pad, (s_idx * Tl, 0), (Tl, N)
+            )
+            leaves_l = J.inverse_lifting(
+                coef_l, depth, nm_l[None], lm_l[None]
+            ).reshape(C, Tl * N)
+            leaves = jax.lax.all_gather(
+                leaves_l, axes, axis=1, tiled=True
+            )[:, : T * N]
             inv_l = jax.lax.dynamic_slice(
                 pix_inv_pad, (s_idx * HWl,), (HWl,)
             )
@@ -973,9 +1050,25 @@ class TPShardedDecoder:
             return planes_l.astype(jnp.uint8)  # [C, HWl] (sharded)
 
         # replicated device constants closed over (shard_map lifts them
-        # as replicated): lifting masks + padded pixel-inverse map
-        node_mask_dev = prog._dec_args[7]
-        leaf_inb_dev = prog._dec_args[8]
+        # as replicated): tile-padded lifting masks + padded
+        # pixel-inverse map (padding tiles are all-masked and sliced
+        # off after the leaves all_gather)
+        node_mask_pad = jax.device_put(
+            np.concatenate(
+                [
+                    np.asarray(prog._dec_args[7]),
+                    np.zeros((Tp - T, N), bool),
+                ]
+            )
+        )
+        leaf_inb_pad = jax.device_put(
+            np.concatenate(
+                [
+                    np.asarray(prog._dec_args[8]),
+                    np.zeros((Tp - T, N), bool),
+                ]
+            )
+        )
         pix_inv_host = np.asarray(prog._dec_args[6])
         pix_inv_pad = jax.device_put(
             np.concatenate(
