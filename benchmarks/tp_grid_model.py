@@ -11,11 +11,13 @@ lane-sharded grid path (parallel/sharded.TPShardedDecoder._build_grid):
     (value, flag) plane gather that capped scaling at ~1.2x
     (tp_decode_model.py);
   * per WAVE one values all_gather (total = K*C i32 over the image)
-    feeds the bulk grid machinery; tap planes and scatters stay
-    replicated, while pack gathers + context math, the final pixel
-    gather, the per-context table regeneration (flattened over the
-    C*CA contexts) and dequant + inverse lifting (tile-axis split, one
-    leaves all_gather) are all sharded.
+    feeds the bulk grid machinery; tap planes and the to_grid dense
+    -grid build stay replicated, while pack gathers + context math,
+    the final pixel gather, the per-context table regeneration
+    (flattened over the C*CA contexts), dequant + inverse lifting
+    (tile-axis split, one leaves all_gather) and the per-wave
+    coefficient scatter (host-partitioned local slot plans) are all
+    sharded.
 
 Projection from the measured 2048x2048 RGB single-chip splits
 (grid_cost_probe + decode-tail probes, 2026-08-21, this repo):
@@ -33,20 +35,24 @@ from __future__ import annotations
 import json
 
 # measured single-chip splits at 2048x2048 RGB (seconds).
-# Round-5 second pass moved two more stages into the sharded set:
+# Round-5 second pass moved three more stages into the sharded set:
 # tables (per-context finalize + compare planes, flattened over the
-# C*CA contexts, one ~190 KB plane all_gather) and dequant+lifting
-# (tile-axis split, one [C, T*N] i32 ~63 MB leaves all_gather).
+# C*CA contexts, one ~190 KB plane all_gather), dequant+lifting
+# (tile-axis split, one [C, T*N] i32 ~63 MB leaves all_gather), and
+# the per-wave coefficient scatter (host-partitioned per-shard slot
+# plans into the LOCAL tile-slot buffer — no extra collective; the
+# to_grid dense-grid build for the next wave's taps stays replicated).
 SHARDED = {
     "scan": 0.147,
     "pack_ctx": 0.062,
     "pixels": 0.049,
     "tables": 0.047,
     "lifting": 0.024,
+    "scatter": 0.023,
 }
 REPLICATED = {
     "tap_planes": 0.033,
-    "scatters": 0.047,
+    "to_grid": 0.024,
     "misc": 0.030,
 }
 # per-step collective: [n_dev, C] i32 counts, latency-bound (~5 us on
@@ -94,9 +100,9 @@ def main() -> int:
             {
                 "note": "step-tensor TP path capped at ~1.2x "
                 "(tp_decode_model.py); the grid path's replicated bulk "
-                "ops floor it at ~4x for n -> inf at this shape — "
-                "sharding the tap planes/scatters (halo rows over the "
-                "grid A axis) is the last headroom"
+                "ops floor it at ~5x for n -> inf at this shape — "
+                "halo-sharding the per-wave tap planes / to_grid dense "
+                "grids over the grid row axis is the last headroom"
             }
         )
     )

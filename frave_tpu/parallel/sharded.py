@@ -705,15 +705,19 @@ class TPShardedDecoder:
         tap/scatter machinery; the final pixel gather is sharded over
         the image.
 
-        Two more stages are sharded OUTSIDE the scan (round 5, second
-        pass): (a) the per-context freq-table regeneration + compare
-        -table build — the C*CONTEXT_AMOUNT contexts are flattened,
-        each shard finalizes its slice, and only the tiny compare
-        planes (~4 KB/context) are all_gathered; (b) dequant + inverse
-        lifting — sharded over the tile axis, one [C, T*N] i32 leaves
-        all_gather feeds the sharded pixel gather. Both collectives
-        are one-shot and loop-invariant, so the while-body collective
-        stays the [n_dev, C] count gather. Cost model:
+        Three more stages are sharded OUTSIDE the scan (round 5,
+        second pass): (a) the per-context freq-table regeneration +
+        compare-table build — the C*CONTEXT_AMOUNT contexts are
+        flattened, each shard finalizes its slice, and only the tiny
+        compare planes (~4 KB/context) are all_gathered; (b) dequant +
+        inverse lifting — sharded over the tile axis, one [C, T*N] i32
+        leaves all_gather feeds the sharded pixel gather; (c) the
+        per-wave coefficient scatter — each wave's wslot indices are
+        partitioned by owning shard ON HOST, so every shard scatters
+        only its own tiles' slots into a LOCAL slot buffer (no extra
+        collective — the buffer is exactly the lifting input). The
+        added collectives are one-shot and loop-invariant, so the
+        while-body collective stays the [n_dev, C] count gather. Cost model:
         benchmarks/tp_grid_model.py."""
         from ..codec.grid_decode import (
             _broadcast_parent,
@@ -777,9 +781,39 @@ class TPShardedDecoder:
         Kc = C * CONTEXT_AMOUNT
         Kl = -(-Kc // n_dev)
         Kp = Kl * n_dev
-        # sharded lifting: tile-axis split (n_slots == T * N)
+        # sharded lifting + coefficient scatter: tile-axis split
+        # (n_slots == T * N; slot // N is the owning tile, so the slot
+        # range [s*Tl*N, (s+1)*Tl*N) is exactly shard s's tiles)
         Tl = -(-T // n_dev)
         Tp = Tl * n_dev
+        span = Tl * N
+        # per-(wave, shard) LOCAL scatter plans: partition each wave's
+        # global wslot indices by owning shard on host; rows padded to
+        # the wave's max per-shard count with DISTINCT overflow slots
+        # (>= span) so unique_indices stays valid
+        scat_plans = []
+        mxcap = 1
+        for wd in waves:
+            ws = np.asarray(wd.wslot)
+            own = ws // span
+            mx = 1
+            if ws.size:
+                mx = max(
+                    1,
+                    int(np.max(np.bincount(own, minlength=n_dev))),
+                )
+            mxcap = max(mxcap, mx)
+            idxl = span + np.tile(
+                np.arange(mx, dtype=np.int32), (n_dev, 1)
+            )
+            vrk = np.full((n_dev, mx), ws.size, np.int32)
+            for s in range(n_dev):
+                sel = np.nonzero(own == s)[0]
+                idxl[s, : sel.size] = (ws[sel] - s * span).astype(
+                    np.int32
+                )
+                vrk[s, : sel.size] = sel.astype(np.int32)
+            scat_plans.append((put(idxl), put(vrk), mx))
 
         def decode_tp_grid(
             states_l,  # [C, NLl] uint32 (lane-sharded)
@@ -834,10 +868,14 @@ class TPShardedDecoder:
                 for k, v in tabs_l.items()
             }
 
+            # LOCAL coefficient buffer: this shard's tile slots plus
+            # an overflow region for the scatter-plan padding rows
             if packed:
-                qpad = jnp.full((n_slots + 1,), _PACK_ZERO, jnp.uint32)
+                qpad = jnp.full(
+                    (span + mxcap,), _PACK_ZERO, jnp.uint32
+                )
             else:
-                qpad = jnp.zeros((C, n_slots + 1), dtype=jnp.int16)
+                qpad = jnp.zeros((C, span + mxcap), dtype=jnp.int16)
             x = states_l
             gptr = jnp.int32(0)
 
@@ -967,67 +1005,61 @@ class TPShardedDecoder:
                     values.astype(jnp.int16), unique_indices=True
                 ).reshape((C,) + wd.shape)
 
-            def scatter_coefs(qpad, wd, values):
+            def scatter_coefs(qpad, wi, values):
+                """SHARDED: scatter only this shard's slots (local
+                indices from the host-partitioned plan); padding rows
+                select a zero value column and distinct overflow
+                slots."""
+                idxl_a, vrk_a, mx = scat_plans[wi]
+                il = jax.lax.dynamic_slice(
+                    idxl_a, (s_idx, 0), (1, mx)
+                ).reshape(mx)
+                vr = jax.lax.dynamic_slice(
+                    vrk_a, (s_idx, 0), (1, mx)
+                ).reshape(mx)
+                vpad = jnp.concatenate(
+                    [values, jnp.zeros((C, 1), values.dtype)], axis=1
+                )
+                vsel = vpad[:, vr]
                 if packed:
-                    return qpad.at[wd.wslot].set(
-                        _pack3(values), unique_indices=True
+                    return qpad.at[il].set(
+                        _pack3(vsel), unique_indices=True
                     )
                 return jax.vmap(
-                    lambda q, v: q.at[wd.wslot].set(
-                        v, unique_indices=True
-                    )
-                )(qpad, values.astype(jnp.int16))
+                    lambda q, v: q.at[il].set(v, unique_indices=True)
+                )(qpad, vsel.astype(jnp.int16))
 
             # ---- wave chain (same structure as decode_fused_grid)
             w0, w1, w2 = waves[0], waves[1], waves[2]
             v0, x, gptr = wave_values(0, w0, None, x, gptr)
-            qpad = scatter_coefs(qpad, w0, v0)
+            qpad = scatter_coefs(qpad, 0, v0)
             dcA = to_grid(w0, v0)
             p1 = _tap_planes(w1, dcA, None, packed, C, fill)
             v1, x, gptr = wave_values(1, w1, p1, x, gptr)
-            qpad = scatter_coefs(qpad, w1, v1)
+            qpad = scatter_coefs(qpad, 1, v1)
             dc = to_grid(w1, v1, base=dcA)
             p2 = _tap_planes(w2, dc, None, packed, C, fill)
             v2, x, gptr = wave_values(2, w2, p2, x, gptr)
-            qpad = scatter_coefs(qpad, w2, v2)
+            qpad = scatter_coefs(qpad, 2, v2)
             parent = to_grid(w2, v2)
             for wi in range(3, len(waves)):
                 wd = waves[wi]
                 pv = _broadcast_parent(wd.wp, parent, fill, gdtype)
                 pl = _tap_planes(wd, pv, parent, packed, C, fill)
                 vv, x, gptr = wave_values(wi, wd, pl, x, gptr)
-                qpad = scatter_coefs(qpad, wd, vv)
+                qpad = scatter_coefs(qpad, wi, vv)
                 parent = to_grid(wd, vv)
 
             # ---- SHARDED dequant + inverse lifting over the tile
-            # axis (lifting is per-tile; one [C, T*N] i32 leaves
-            # all_gather feeds the sharded pixel assembly below)
-            tile_lo = s_idx * Tl * N
+            # axis (lifting is per-tile; the scatter above already
+            # filled this shard's local slot buffer; one [C, T*N] i32
+            # leaves all_gather feeds the sharded pixel assembly)
             if packed:
-                qpad_p = jnp.concatenate(
-                    [
-                        qpad[:n_slots],
-                        jnp.full(
-                            (Tp * N - n_slots,), _PACK_ZERO, jnp.uint32
-                        ),
-                    ]
-                )
-                q_l = jax.lax.dynamic_slice(
-                    qpad_p, (tile_lo,), (Tl * N,)
-                )
-                qcoef_l = _unpack3(q_l).reshape(C, Tl, N)
+                qcoef_l = _unpack3(qpad[:span]).reshape(C, Tl, N)
             else:
-                qpad_p = jnp.concatenate(
-                    [
-                        qpad[:, :n_slots],
-                        jnp.zeros((C, Tp * N - n_slots), jnp.int16),
-                    ],
-                    axis=1,
+                qcoef_l = qpad[:, :span].astype(jnp.int32).reshape(
+                    C, Tl, N
                 )
-                q_l = jax.lax.dynamic_slice(
-                    qpad_p, (0, tile_lo), (C, Tl * N)
-                )
-                qcoef_l = q_l.astype(jnp.int32).reshape(C, Tl, N)
             coef_l = J.dequantize(qcoef_l, qdiv[None, None, :])
             nm_l = jax.lax.dynamic_slice(
                 node_mask_pad, (s_idx * Tl, 0), (Tl, N)

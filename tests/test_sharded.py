@@ -213,6 +213,15 @@ def test_sharded_grid_mode_roundtrip():
     ).encode(batch[0])
     tpd = TPShardedDecoder(height=32, width=48, channels=1, mesh=mesh)
     np.testing.assert_array_equal(tpd.decode(blob).data, batch[0])
+    # RGB: exercises the PACKED (u32-triple) variants of the sharded
+    # table build (Kc=45 contexts padded to 48 over 8 shards) and the
+    # tile-axis dequant+lifting split
+    rgb = _batch(1, 32, 48, 3, seed=32)[0]
+    blob3 = FRIEncoder(
+        EncoderOptions(backend="jax", mode="grid", num_lanes=64)
+    ).encode(rgb)
+    tpd3 = TPShardedDecoder(height=32, width=48, channels=3, mesh=mesh)
+    np.testing.assert_array_equal(tpd3.decode(blob3).data, rgb)
 
 
 def test_tp_grid_decode_step_collective_is_counts_only():
