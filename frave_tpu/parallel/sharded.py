@@ -701,8 +701,8 @@ class TPShardedDecoder:
         This replaces the step-tensor TP path's per-step plane-sized
         (value, flag) all_gather that capped scaling at ~1.2x
         (tp_decode_model.py). Per WAVE (not per step) one values
-        all_gather rebuilds the dense grids for the replicated bulk
-        tap/scatter machinery; the final pixel gather is sharded over
+        all_gather rebuilds the dense grids for the replicated
+        tap-plane machinery; the final pixel gather is sharded over
         the image.
 
         Three more stages are sharded OUTSIDE the scan (round 5,
