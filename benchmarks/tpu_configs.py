@@ -55,6 +55,15 @@ def run_uniform(tag, h, w, c, n, bs, reps):
     corpus = np.stack([make_image(h, w, c, seed=i) for i in range(n)])
     out = {"config": tag, "mode": bench._bench_opts().mode}
     out["wall_rt_mp_s"] = round(bench.bench_jax(corpus, reps=reps, batch_size=bs), 3)
+    # device-verified wall: losslessness checked ON CHIP (one scalar
+    # fetch per batch instead of the decoded-pixel downlink) — the
+    # bench-mode transfer discipline the headline bench.py uses
+    out["wall_vrt_mp_s"] = round(
+        bench.bench_jax(
+            corpus, reps=reps, batch_size=bs, device_verify=True
+        ),
+        3,
+    )
     enc, dec = bench.bench_split(corpus, reps=max(2, reps - 1), batch_size=bs)
     out["wall_enc_mp_s"], out["wall_dec_mp_s"] = round(enc, 3), round(dec, 3)
     denc, ddec = bench.bench_device(corpus, reps=reps, batch_size=bs)
@@ -63,6 +72,9 @@ def run_uniform(tag, h, w, c, n, bs, reps):
     out.update(refbase_mp_s([corpus[i] for i in range(min(n, 4))]))
     if "ref_rt_mp_s" in out:
         out["wall_ratio"] = round(out["wall_rt_mp_s"] / out["ref_rt_mp_s"], 2)
+        out["wall_verify_ratio"] = round(
+            out["wall_vrt_mp_s"] / out["ref_rt_mp_s"], 2
+        )
         out["dev_ratio"] = round(out["dev_rt_mp_s"] / out["ref_rt_mp_s"], 2)
     print(json.dumps(out), flush=True)
 
